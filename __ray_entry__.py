@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` maps each
+implemented operator/pipeline to a callable over ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the SQL-expressible
+entries (the rest get the driver's rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,55 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from img2table_ray.pipelines import docops
+
+    return docops.doc_fingerprint(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from img2table_ray.pipelines import dedup, docops, relational, similarity
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis over documents ---
+        "token_count": docops.token_count,
+        "text_quality": docops.text_quality,
+        "lang_id": docops.lang_id,
+        "doc_fingerprint": docops.doc_fingerprint,
+        # --- deduplication family ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_near_dup": dedup.simhash_near_dup,  # rows-only
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approximate)
+        # --- relational / windowed demos ---
+        "pricing_summary": relational.pricing_summary,
+        "events_hourly": relational.events_hourly,
+        "nation_revenue": relational.nation_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from img2table_ray.pipelines import oracles
+
+    return {
+        "token_count": oracles.token_count_sql(),
+        "text_quality": oracles.text_quality_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "doc_fingerprint": oracles.doc_fingerprint_sql(),
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
+        "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_sql(),
+        "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
+        "ann_topk": oracles.ann_topk_sql(),
+        "pricing_summary": oracles.pricing_summary_sql(),
+        "events_hourly": oracles.events_hourly_sql(),
+        "nation_revenue": oracles.nation_revenue_sql(),
+    }

@@ -1,0 +1,126 @@
+"""Benchmark harness: runs the headline pipelines over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Usage:
+  python bench.py             # one timed run at RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh-process runs at 8 and 32 CPUs + efficiency
+
+The headline metric is total seconds for the benchmark suite; per-query
+seconds are reported under "queries".  ``--scaling`` evidences the N->4N
+cluster-size criterion with two fresh ``ray.init`` sessions on the same
+input (single-node proxy per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed in the headline suite (a representative cross-section:
+# text analysis, dedup shuffle, broadcast ANN, windowed agg, extraction)
+BENCH_QUERIES = [
+    "text_quality",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "pricing_summary",
+    "events_hourly",
+    "extract_tables",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count without materializing to the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return 0
+
+
+def run_suite() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # warm the page cache + Ray worker pool with one untimed pass
+    _consume(qs[names[0]](SF_DIR))
+
+    per_query: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in names:
+        t = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        per_query[name] = round(time.perf_counter() - t, 3)
+    total = round(time.perf_counter() - t_total, 3)
+    ray.shutdown()
+    return {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "sf": SF_DIR,
+        "num_cpus": [lo_cpus, hi_cpus],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table — Ray-Data-native.
+
+Each public function takes ``sf_dir`` and returns a lazy ``ray.data.Dataset``;
+the matching DuckDB oracle SQL lives in :mod:`img2table_ray.pipelines.oracles`.
+
+Design for scale: every op is a single vectorized ``map_batches`` over
+pyarrow/pandas batches — no shuffle, no driver-side loop.  Outputs carry only
+small derived columns (the input ``text`` is projected away), and all derived
+values are integers or strings so the driver's value-hash compare is exact.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from img2table_ray.functions import hashing
+
+# Fixed vocabularies — mirrored verbatim into the oracle SQL.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# language marker profiles for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "you", "that"),
+    "es": ("el", "la", "los", "que", "de", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+}
+LANG_FALLBACK = "und"
+
+_TOKEN_RE = r"\S+"
+_WORD_RE = r"[a-z]+"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation, regex-portable to DuckDB
+_DIGIT_RE = r"[0-9]"
+_UPPER_RE = r"[A-Z]"
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_tokens (whitespace tokenization) — single map_batches."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].str.count(_TOKEN_RE).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def text_quality(sf_dir: str) -> ray.data.Dataset:
+    """Integer quality-signal counts per document (hash-exact vs the oracle).
+
+    Columns: doc_id, n_chars, n_tokens, n_words, n_stopwords, n_punct,
+    n_digits, n_upper.  Ratios are derivable downstream; emitting integers
+    keeps the value-hash compare exact across engines.
+    """
+
+    stop = set(STOPWORDS)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        lower = text.str.lower()
+        words = lower.str.findall(_WORD_RE)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": text.str.len().astype("int64"),
+                "n_tokens": text.str.count(_TOKEN_RE).astype("int64"),
+                "n_words": words.map(len).astype("int64"),
+                "n_stopwords": words.map(
+                    lambda ws: sum(1 for w in ws if w in stop)
+                ).astype("int64"),
+                "n_punct": text.str.count(_PUNCT_RE).astype("int64"),
+                "n_digits": text.str.count(_DIGIT_RE).astype("int64"),
+                "n_upper": text.str.count(_UPPER_RE).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-profile language ID.
+
+    Per language L: score(L) = number of word tokens that are in L's marker
+    set.  Prediction = language with max score (ties -> lexicographically
+    smallest code); all-zero -> 'und'.  Deterministic, SQL-mirrorable.
+    """
+
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {lang: set(ws) for lang, ws in LANG_MARKERS.items()}
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(_WORD_RE)
+        scores = {
+            lang: words.map(lambda ws, m=marker_sets[lang]: sum(1 for w in ws if w in m))
+            .astype("int64")
+            .to_numpy()
+            for lang in langs
+        }
+        mat = np.stack([scores[lang] for lang in langs], axis=1)
+        best = mat.argmax(axis=1)  # argmax returns first (lexicographic) on tie
+        pred = np.where(
+            mat.max(axis=1) > 0, np.array(langs, dtype=object)[best], LANG_FALLBACK
+        )
+        out = {"doc_id": batch["doc_id"], "pred_lang": pred}
+        for lang in langs:
+            out[f"score_{lang}"] = scores[lang]
+        return pd.DataFrame(out)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprints: md5 of normalized text + 60-bit SimHash.
+
+    Columns: doc_id, content_hash (md5 hex of lower+ws-collapsed+stripped
+    text), simhash (int64, 60-bit).
+    """
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = [hashing.normalize_text(t) for t in batch["text"]]
+        token_lists = [hashing.tokens_of(t) for t in norm]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "content_hash": hashing.md5_hex_many(norm),
+                "simhash": hashing.simhash60_many(token_lists),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=2048
+    )

@@ -1,0 +1,216 @@
+"""DuckDB oracle SQL for every SQL-expressible query in ``__ray_entry__``.
+
+The SQL is generated from the same constants the Ray pipelines use
+(stopword lists, minhash parameters, simhash bit count), so the two sides
+cannot drift.  Tables region/nation/customer/supplier/part/orders/lineitem/
+events/documents/embeddings are pre-registered views on the driver side.
+"""
+
+from __future__ import annotations
+
+from img2table_ray.functions.hashing import HEX_CHARS, SIMHASH_BITS
+from img2table_ray.pipelines.docops import LANG_MARKERS, STOPWORDS
+from img2table_ray.pipelines.dedup import (
+    BAND_SIZE,
+    JACCARD_DEN,
+    JACCARD_NUM,
+    NUM_HASHES,
+    SHINGLE_K,
+)
+from img2table_ray.pipelines.similarity import N_QUERIES, TOP_K
+
+# canonical normalized text + tokenization fragments
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKENS_RAW = r"regexp_extract_all(text, '\S+')"
+_TOKENS_NORM = rf"regexp_extract_all({_NORM}, '\S+')"
+_WORDS = r"regexp_extract_all(lower(text), '[a-z]+')"
+
+
+def _sql_list(strings) -> str:
+    return "(" + ", ".join(f"'{s}'" for s in strings) + ")"
+
+
+def token_count_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        f"len({_TOKENS_RAW})::BIGINT AS n_tokens "
+        "FROM documents"
+    )
+
+
+def text_quality_sql() -> str:
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len({_TOKENS_RAW})::BIGINT AS n_tokens,
+  len({_WORDS})::BIGINT AS n_words,
+  len(list_filter({_WORDS}, w -> w IN {_sql_list(STOPWORDS)}))::BIGINT AS n_stopwords,
+  len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))::BIGINT AS n_punct,
+  len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+  len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper
+FROM documents
+"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n  ".join(
+        f"len(list_filter(ws, x -> x IN {_sql_list(LANG_MARKERS[lang])}))::BIGINT"
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    # lexicographic-first argmax ladder (matches numpy argmax over sorted langs)
+    ladder = f"WHEN {greatest} = 0 THEN 'und'\n"
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        ladder += f"    WHEN {conds} THEN '{lang}'\n"
+    ladder += f"    ELSE '{langs[-1]}'"
+    cols = ", ".join(f"score_{l}" for l in langs)
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+s AS (SELECT doc_id,
+  {score_exprs}
+FROM w)
+SELECT doc_id, CASE {ladder} END AS pred_lang, {cols} FROM s
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    terms = "\n    + ".join(
+        f"(CASE WHEN list_sum(list_transform(ti, v -> ((v >> {j}) & 1)*2 - 1)) > 0"
+        f" THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, md5({_NORM}) AS content_hash,
+         [('0x' || substr(md5(x), 1, {HEX_CHARS}))::BIGINT for x in {_TOKENS_NORM}] AS ti
+  FROM documents)
+SELECT doc_id, content_hash,
+  ({terms})::BIGINT AS simhash
+FROM t
+"""
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id "
+        "FROM documents GROUP BY 1"
+    )
+
+
+def _minhash_cte() -> str:
+    """Shared CTE text: tokens -> shingles -> signature -> bands."""
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(sg, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(NUM_HASHES // BAND_SIZE):
+        parts = " || '|' || ".join(
+            f"m{b * BAND_SIZE + r}" for r in range(BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b}::BIGINT AS band, md5({parts}) AS band_hash FROM sig"
+        )
+    bands = "\n    UNION ALL ".join(band_selects)
+    shingle_expr = " || ' ' || ".join(f"tk[i+{j}]" for j in range(SHINGLE_K))
+    return f"""
+toks AS (SELECT doc_id, {_TOKENS_NORM} AS tk FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tk) - {SHINGLE_K - 1}), i -> {shingle_expr}) AS sg
+  FROM toks WHERE len(tk) >= {SHINGLE_K}),
+sig AS (SELECT doc_id,
+    {sig_exprs}
+  FROM sh),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+"""
+
+
+def minhash_lsh_pairs_sql() -> str:
+    return f"""
+WITH {_minhash_cte()}
+SELECT doc_id_a::BIGINT AS doc_id_a, doc_id_b::BIGINT AS doc_id_b FROM pairs
+"""
+
+
+def ngram_jaccard_pairs_sql() -> str:
+    return f"""
+WITH {_minhash_cte()},
+sets AS (SELECT doc_id, list_distinct(sg) AS ss FROM sh),
+j AS (
+  SELECT p.doc_id_a::BIGINT AS doc_id_a, p.doc_id_b::BIGINT AS doc_id_b,
+         len(list_intersect(a.ss, b.ss))::BIGINT AS n_inter,
+         (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)))::BIGINT AS n_union
+  FROM pairs p
+  JOIN sets a ON a.doc_id = p.doc_id_a
+  JOIN sets b ON b.doc_id = p.doc_id_b)
+SELECT * FROM j WHERE n_inter * {JACCARD_DEN} >= n_union * {JACCARD_NUM}
+"""
+
+
+def embedding_dup_pairs_sql(threshold: float = 0.42) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS vec_id_a, b.vec_id::BIGINT AS vec_id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
+def ann_topk_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(q.v, e.v), 6) AS sim6
+  FROM q, e WHERE e.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, sim6,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, vec_id) AS rnk
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       sim6 AS sim, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+  count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def nation_revenue_sql() -> str:
+    return """
+SELECT n.n_name AS n_name, round(sum(o.o_totalprice), 2) AS total_revenue,
+  count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""

@@ -1,0 +1,154 @@
+"""Relational pipeline demos exercising the engine's wide operators.
+
+These demonstrate the scale patterns the extraction engine relies on:
+partial (combiner) pre-aggregation before a groupby shuffle, broadcast
+small-side joins instead of shuffle joins, and windowed aggregation over an
+event stream.  Outputs round floats to fixed decimals so the DuckDB oracle
+hashes match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Per (l_returnflag, l_linestatus): sum_qty, sum_base_price,
+    sum_disc_price, avg_qty (round 4), count_order.  Partial aggregation
+    happens inside map_batches (one row per key per batch) so the shuffle
+    moves O(keys x batches) rows, not the full table.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = batch.append_column("disc_price", disc_price)
+        df = t.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "disc_price"]
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_sum_qty=("l_quantity", "sum"),
+            p_sum_base=("l_extendedprice", "sum"),
+            p_sum_disc=("disc_price", "sum"),
+            p_count=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    # post-combiner partials are (keys x batches) rows — tiny for bounded keys.
+    # Coalesce before the groupby so the shuffle is one task, not a full sort.
+    ds = ds.repartition(1)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_sum_qty", alias_name="sum_qty"),
+        Sum("p_sum_base", alias_name="sum_base_price"),
+        Sum("p_sum_disc", alias_name="sum_disc_price"),
+        Sum("p_count", alias_name="count_order"),
+    )
+    df = agg.to_pandas()
+    df["avg_qty"] = np.round(df["sum_qty"] / df["count_order"], 4)
+    df["sum_qty"] = np.round(df["sum_qty"], 2)
+    df["sum_base_price"] = np.round(df["sum_base_price"], 2)
+    df["sum_disc_price"] = np.round(df["sum_disc_price"], 2)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window aggregate over the events stream.
+
+    Per (event_type, hour): n_events, sum_value (round 4).  The window key
+    is computed vectorized per batch; partial counts per (key, window) are
+    combined per batch before the global groupby — the streaming-window
+    pattern for an ordered log.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": hour,
+                "value": batch["value"],
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = ds.repartition(1).groupby(["event_type", "hour"]).aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="sum_value")
+    )
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_value"] = np.round(df["sum_value"], 4)
+    return df[["event_type", "hour", "n_events", "sum_value"]]
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join demo: orders x customer x nation -> revenue per nation.
+
+    customer and nation are the small sides: loaded once on the driver,
+    merged into a custkey -> nation name mapping, broadcast with
+    ``ray.put``, and applied per batch as a numpy searchsorted lookup — no
+    shuffle join.  Columns: n_name, total_revenue (round 2), n_orders.
+    """
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cmap = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", how="left"
+    )[["c_custkey", "n_name"]].sort_values("c_custkey")
+    keys = cmap["c_custkey"].to_numpy()
+    names = cmap["n_name"].to_numpy()
+    ref = ray.put((keys, names))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k, v = ray.get(ref)
+        idx = np.searchsorted(k, batch["o_custkey"].to_numpy())
+        idx = np.clip(idx, 0, len(k) - 1)
+        matched = k[idx] == batch["o_custkey"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "n_name": np.where(matched, v[idx], None),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+        df = df[df["n_name"].notna()]
+        return df.groupby("n_name", as_index=False).agg(
+            p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(partial, batch_format="pandas", batch_size=65536)
+    agg = ds.repartition(1).groupby("n_name").aggregate(
+        Sum("p_rev", alias_name="total_revenue"), Sum("p_n", alias_name="n_orders")
+    )
+    df = agg.to_pandas()
+    df["total_revenue"] = np.round(df["total_revenue"], 2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["n_name", "total_revenue", "n_orders"]]
