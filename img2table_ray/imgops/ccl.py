@@ -1,0 +1,107 @@
+"""Connected-component labeling with stats — numpy/run-based replacement for
+cv2.connectedComponentsWithStats(img, 8, CV_32S).
+
+Two-pass run-merging: rows are split into foreground runs (vectorized), runs
+are unioned across adjacent rows (8-connectivity: x-ranges within +-1), and
+final labels are renumbered in raster order of each component's first run —
+matching OpenCV's observable label ordering (background = 0, components in
+top-left first-appearance order).
+
+Returns (n_labels, labels, stats) where stats[i] = [x, y, w, h, area] like
+cv2 (stats[0] = background row covering the full image).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def connected_components_with_stats(binary: np.ndarray):
+    h, w = binary.shape
+    fg = binary > 0
+
+    # --- extract runs per row (vectorized over the whole image) ---
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = fg
+    diff = np.diff(padded.astype(np.int8), axis=1)
+    starts_r, starts_c = np.where(diff == 1)   # run starts (col index in image coords)
+    ends_r, ends_c = np.where(diff == -1)      # run ends (exclusive)
+    # diff guarantees starts and ends pair up row by row in order
+    n_runs = len(starts_r)
+    if n_runs == 0:
+        labels = np.zeros((h, w), dtype=np.int32)
+        stats = np.array([[0, 0, w, h, h * w]], dtype=np.int32)
+        return 1, labels, stats
+
+    run_row = starts_r
+    run_x1 = starts_c
+    run_x2 = ends_c  # exclusive
+
+    # --- union runs between consecutive rows (8-connectivity) ---
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # row -> slice of run indices (runs are sorted by (row, x1) by np.where)
+    row_start = np.searchsorted(run_row, np.arange(h + 1))
+    for r in range(1, h):
+        a0, a1 = row_start[r], row_start[r + 1]       # runs in row r
+        b0, b1 = row_start[r - 1], row_start[r]       # runs in row r-1
+        if a0 == a1 or b0 == b1:
+            continue
+        bi = b0
+        for ai in range(a0, a1):
+            ax1 = run_x1[ai] - 1  # 8-conn: diagonal touch allowed
+            ax2 = run_x2[ai] + 1
+            while bi < b1 and run_x2[bi] <= ax1:
+                bi += 1
+            bj = bi
+            while bj < b1 and run_x1[bj] < ax2:
+                ra, rb = find(ai), find(bj)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                bj += 1
+
+    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+
+    # --- renumber components in raster order of first run ---
+    # first occurrence order of roots in run order (runs already raster-sorted)
+    _, first_idx, inv = np.unique(roots, return_index=True, return_inverse=True)
+    order = np.argsort(first_idx)  # component rank by first run position
+    rank_of_unique = np.empty_like(order)
+    rank_of_unique[order] = np.arange(len(order))
+    comp = rank_of_unique[inv] + 1  # 1-based labels, raster order
+    n_comp = len(order)
+
+    # --- stats per component ---
+    run_len = run_x2 - run_x1
+    x1s = np.full(n_comp + 1, w, dtype=np.int64)
+    x2s = np.zeros(n_comp + 1, dtype=np.int64)
+    y1s = np.full(n_comp + 1, h, dtype=np.int64)
+    y2s = np.zeros(n_comp + 1, dtype=np.int64)
+    areas = np.zeros(n_comp + 1, dtype=np.int64)
+    np.minimum.at(x1s, comp, run_x1)
+    np.maximum.at(x2s, comp, run_x2)
+    np.minimum.at(y1s, comp, run_row)
+    np.maximum.at(y2s, comp, run_row + 1)
+    np.add.at(areas, comp, run_len)
+
+    stats = np.zeros((n_comp + 1, 5), dtype=np.int32)
+    stats[0] = [0, 0, w, h, h * w - int(areas[1:].sum())]
+    stats[1:, 0] = x1s[1:]
+    stats[1:, 1] = y1s[1:]
+    stats[1:, 2] = x2s[1:] - x1s[1:]
+    stats[1:, 3] = y2s[1:] - y1s[1:]
+    stats[1:, 4] = areas[1:]
+
+    # --- label image ---
+    labels = np.zeros((h, w), dtype=np.int32)
+    comp32 = comp.astype(np.int32)
+    for i in range(n_runs):
+        labels[run_row[i], run_x1[i] : run_x2[i]] = comp32[i]
+
+    return n_comp + 1, labels, stats

@@ -1,0 +1,225 @@
+"""Pure-numpy image-processing kernels replacing the OpenCV calls the
+reference makes.  Each function documents the cv2 call it substitutes and
+follows its arithmetic (fixed-point grayscale, border modes, anchor
+conventions) closely enough to reproduce the reference's pytest goldens.
+
+No OpenCV in the runtime: everything is integral-image / separable-filter
+numpy, O(H*W) independent of kernel size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rgb2gray(img: np.ndarray) -> np.ndarray:
+    """cv2.cvtColor(img, COLOR_RGB2GRAY) — fixed-point BT.601 luma:
+    (R*4899 + G*9617 + B*1868 + 8192) >> 14 on uint8."""
+    r = img[:, :, 0].astype(np.uint32)
+    g = img[:, :, 1].astype(np.uint32)
+    b = img[:, :, 2].astype(np.uint32)
+    return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
+
+
+def _integral(img: np.ndarray) -> np.ndarray:
+    """Summed-area table with a leading zero row/col; float64."""
+    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.float64)
+    np.cumsum(img, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    return ii
+
+
+def _window_bounds(n: int, k: int, anchor: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-index [lo, hi) window bounds for a length-k window with given
+    anchor, clipped to [0, n] (border pixels ignored, cv2 morphology
+    default-border semantics)."""
+    idx = np.arange(n)
+    lo = np.clip(idx - anchor, 0, n)
+    hi = np.clip(idx - anchor + k, 0, n)
+    return lo, hi
+
+
+def window_sum(img: np.ndarray, kw: int, kh: int,
+               ax: int | None = None, ay: int | None = None) -> np.ndarray:
+    """Windowed sum with out-of-image treated as 0; anchor defaults to
+    (kw//2, kh//2) like cv2.getStructuringElement."""
+    if ax is None:
+        ax = kw // 2
+    if ay is None:
+        ay = kh // 2
+    h, w = img.shape
+    ii = _integral(img)
+    ylo, yhi = _window_bounds(h, kh, ay)
+    xlo, xhi = _window_bounds(w, kw, ax)
+    return (ii[np.ix_(yhi, xhi)] - ii[np.ix_(ylo, xhi)]
+            - ii[np.ix_(yhi, xlo)] + ii[np.ix_(ylo, xlo)])
+
+
+def dilate(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    """cv2.dilate with a rect kernel on a 0/255 uint8 image.  OOB = ignored.
+
+    cv2's documented formula uses src(x + x' - anchor) for BOTH erode and
+    dilate, i.e. no kernel reflection; for even kernel sizes dilate output
+    is shifted accordingly (observable OpenCV behaviour: the dilate anchor
+    is mirrored, window [i-(k-1-a), i+a])."""
+    ax, ay = kw // 2, kh // 2
+    s = window_sum((binary > 0).astype(np.uint8), kw, kh,
+                   ax=kw - 1 - ax, ay=kh - 1 - ay)
+    return np.where(s > 0, 255, 0).astype(np.uint8)
+
+
+def erode(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    """cv2.erode with a rect kernel on a 0/255 image.  OOB treated as +inf
+    (border ignored): a pixel survives iff every *in-image* window pixel is
+    set."""
+    ax, ay = kw // 2, kh // 2
+    b = (binary > 0).astype(np.uint8)
+    h, w = b.shape
+    s = window_sum(b, kw, kh, ax=ax, ay=ay)
+    # number of in-image pixels in each window
+    ylo, yhi = _window_bounds(h, kh, ay)
+    xlo, xhi = _window_bounds(w, kw, ax)
+    cnt = (yhi - ylo)[:, None] * (xhi - xlo)[None, :]
+    return np.where(s >= cnt, 255, 0).astype(np.uint8)
+
+
+def morph_open(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    return dilate(erode(binary, kw, kh), kw, kh)
+
+
+def morph_close(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    return erode(dilate(binary, kw, kh), kw, kh)
+
+
+def box_mean_replicate(img: np.ndarray, k: int) -> np.ndarray:
+    """Normalized k x k box filter with BORDER_REPLICATE, float64 output —
+    the mean filter inside cv2.ximgproc.niBlackThreshold."""
+    pad = k // 2
+    padded = np.pad(img.astype(np.float64), pad, mode="edge")
+    ii = _integral(padded)
+    h, w = img.shape
+    ys = np.arange(h)
+    xs = np.arange(w)
+    out = (ii[np.ix_(ys + k, xs + k)] - ii[np.ix_(ys, xs + k)]
+           - ii[np.ix_(ys + k, xs)] + ii[np.ix_(ys, xs)])
+    return out / (k * k)
+
+
+def sauvola_threshold(gray: np.ndarray, window: int, k: float = 0.2,
+                      r: float = 128.0) -> np.ndarray:
+    """Sauvola local threshold surface (cv2.ximgproc.niBlackThreshold with
+    BINARIZATION_SAUVOLA): t = mean * (1 + k * (std / r - 1)).
+
+    Computed in float32 like OpenCV's CV_32F path.  Returns the boolean
+    'on' mask (gray <= t), matching the reference's THRESH_BINARY_INV use
+    (src/img2table/tables/__init__.py:24-27)."""
+    mean = box_mean_replicate(gray, window)
+    sqmean = box_mean_replicate(gray.astype(np.float64) ** 2, window)
+    var = np.maximum(sqmean - mean ** 2, 0.0)
+    std = np.sqrt(var.astype(np.float32))
+    t = mean.astype(np.float32) * (1.0 + k * (std / r - 1.0))
+    return gray.astype(np.float32) <= t
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2.getGaussianKernel: sigma<=0 -> 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return k / k.sum()
+
+
+def _reflect101_pad_1d(arr: np.ndarray, pad: int, axis: int) -> np.ndarray:
+    return np.pad(arr, [(pad, pad) if a == axis else (0, 0) for a in range(arr.ndim)],
+                  mode="reflect")
+
+
+def gaussian_blur(img: np.ndarray, ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2.GaussianBlur((k,k), sigma) on uint8 with BORDER_DEFAULT
+    (reflect-101); rounded back to uint8."""
+    k = gaussian_kernel_1d(ksize, sigma)
+    pad = ksize // 2
+    f = img.astype(np.float64)
+    f = _reflect101_pad_1d(f, pad, axis=1)
+    f = _convolve_axis(f, k, axis=1)
+    f = _reflect101_pad_1d(f, pad, axis=0)
+    f = _convolve_axis(f, k, axis=0)
+    return np.clip(np.rint(f), 0, 255).astype(np.uint8)
+
+
+def _convolve_axis(f: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    """'valid' correlation of a padded array along an axis."""
+    n = len(k)
+    if axis == 1:
+        out = np.zeros((f.shape[0], f.shape[1] - n + 1), dtype=np.float64)
+        for i in range(n):
+            out += k[i] * f[:, i : i + out.shape[1]]
+        return out
+    out = np.zeros((f.shape[0] - n + 1, f.shape[1]), dtype=np.float64)
+    for i in range(n):
+        out += k[i] * f[i : i + out.shape[0], :]
+    return out
+
+
+def laplacian3_abs(gray: np.ndarray) -> np.ndarray:
+    """cv2.Laplacian(gray, CV_64F, ksize=3) then cv2.convertScaleAbs:
+    kernel [[2,0,2],[0,-8,0],[2,0,2]] (Sobel d2x + d2y), reflect-101
+    border, |.| rounded + saturated to uint8."""
+    f = np.pad(gray.astype(np.float64), 1, mode="reflect")
+    lap = (
+        2 * (f[:-2, :-2] + f[:-2, 2:] + f[2:, :-2] + f[2:, 2:])
+        - 8 * f[1:-1, 1:-1]
+    )
+    return np.clip(np.rint(np.abs(lap)), 0, 255).astype(np.uint8)
+
+
+def bilateral3_color(img: np.ndarray, sigma_color: float = 40.0,
+                     sigma_space: float = 80.0) -> np.ndarray:
+    """cv2.bilateralFilter(img, d=3, 40, 80) on RGB uint8.
+
+    d=3 -> radius 1; OpenCV keeps offsets with euclidean norm <= radius,
+    i.e. the 4-neighborhood + centre.  Color weight uses the L1 distance
+    over channels: exp(-0.5 * (|dr|+|dg|+|db|)^2 / sigma_color^2)."""
+    h, w, _ = img.shape
+    f = img.astype(np.float32)
+    gauss_color = -0.5 / (sigma_color ** 2)
+    gauss_space = -0.5 / (sigma_space ** 2)
+    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+    padded = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="reflect")  # BORDER_DEFAULT
+    num = np.zeros_like(f)
+    den = np.zeros((h, w, 3), dtype=np.float32)
+    # OpenCV precomputes color weights on integer L1 distances 0..765
+    cw_table = np.exp(gauss_color * (np.arange(256 * 3, dtype=np.float32) ** 2))
+    for dy, dx in offsets:
+        sw = np.float32(np.exp(gauss_space * (dy * dy + dx * dx)))
+        nb = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+        l1 = np.abs(nb - f).sum(axis=2).astype(np.int32)
+        wgt = (cw_table[l1] * sw)[:, :, None]
+        num += nb * wgt
+        den += wgt
+    out = num / den
+    # cv2 rounds to nearest on store
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def in_range_mask(img: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """cv2.inRange(img, lo, hi) -> 0/255 uint8."""
+    return (((img >= lo) & (img <= hi)) * 255).astype(np.uint8)
+
+
+def adaptive_threshold_gaussian_inv(gray: np.ndarray, block: int, c: float) -> np.ndarray:
+    """cv2.adaptiveThreshold(..., ADAPTIVE_THRESH_GAUSSIAN_C,
+    THRESH_BINARY_INV, block, C): on iff src < mean_gauss - C (cv2 uses
+    maxval when src > thresh for BINARY; INV flips: dst=255 iff
+    src <= thresh - 1 ... cv2 computes idelta and a LUT; effectively
+    dst = 255 iff src <= mean - C (integer thresholds))."""
+    k = gaussian_kernel_1d(block)
+    pad = block // 2
+    f = _reflect101_pad_1d(gray.astype(np.float64), pad, axis=1)
+    f = _convolve_axis(f, k, axis=1)
+    f = _reflect101_pad_1d(f, pad, axis=0)
+    f = _convolve_axis(f, k, axis=0)
+    mean = np.rint(f)  # cv2 stores the blurred mean as uint8
+    # cv2: dst = (src > mean - C) ? 0 : 255  for THRESH_BINARY_INV
+    return np.where(gray.astype(np.float64) > mean - c, 0, 255).astype(np.uint8)
