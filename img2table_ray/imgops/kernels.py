@@ -59,12 +59,11 @@ def dilate(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
     """cv2.dilate with a rect kernel on a 0/255 uint8 image.  OOB = ignored.
 
     cv2's documented formula uses src(x + x' - anchor) for BOTH erode and
-    dilate, i.e. no kernel reflection; for even kernel sizes dilate output
-    is shifted accordingly (observable OpenCV behaviour: the dilate anchor
-    is mirrored, window [i-(k-1-a), i+a])."""
+    dilate, i.e. no kernel reflection — verified against the reference's
+    line-detection golden, where even-sized kernels shift open/close output
+    by +1 per operation."""
     ax, ay = kw // 2, kh // 2
-    s = window_sum((binary > 0).astype(np.uint8), kw, kh,
-                   ax=kw - 1 - ax, ay=kh - 1 - ay)
+    s = window_sum((binary > 0).astype(np.uint8), kw, kh, ax=ax, ay=ay)
     return np.where(s > 0, 255, 0).astype(np.uint8)
 
 
@@ -216,9 +215,10 @@ def adaptive_threshold_gaussian_inv(gray: np.ndarray, block: int, c: float) -> n
     dst = 255 iff src <= mean - C (integer thresholds))."""
     k = gaussian_kernel_1d(block)
     pad = block // 2
-    f = _reflect101_pad_1d(gray.astype(np.float64), pad, axis=1)
+    # adaptiveThreshold uses BORDER_REPLICATE for the local mean
+    f = np.pad(gray.astype(np.float64), ((0, 0), (pad, pad)), mode="edge")
     f = _convolve_axis(f, k, axis=1)
-    f = _reflect101_pad_1d(f, pad, axis=0)
+    f = np.pad(f, ((pad, pad), (0, 0)), mode="edge")
     f = _convolve_axis(f, k, axis=0)
     mean = np.rint(f)  # cv2 stores the blurred mean as uint8
     # cv2: dst = (src > mean - C) ? 0 : 255  for THRESH_BINARY_INV
