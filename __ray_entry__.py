@@ -18,16 +18,30 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    from img2table_ray.pipelines import docops
+    """Flagship pipeline on sf0.001: the streaming table-extraction job over
+    the Common-Crawl-style pages table (synthesized deterministically at
+    sf0.001 scale — testdata carries no binary pages table; FIXTURES.md §1),
+    returning one row per extracted table."""
+    from img2table_ray.pipelines import extraction_queries
 
-    return docops.doc_fingerprint(SF0001)
+    return extraction_queries.extract_tables(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from img2table_ray.pipelines import dedup, docops, relational, similarity
+    from img2table_ray.pipelines import (
+        dedup,
+        docops,
+        extraction_queries,
+        relational,
+        similarity,
+    )
 
     return {
+        # --- extraction engine (rows-only: not SQL-expressible) ---
+        "extract_tables": extraction_queries.extract_tables,
+        "extract_tables_en": extraction_queries.extract_tables_en,
+        "extract_metrics": extraction_queries.extract_metrics,
+        "extract_lines": extraction_queries.extract_lines,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

@@ -1,0 +1,31 @@
+"""Per-scale-factor synthetic pages corpora (cached under /tmp).
+
+The driver's testdata has no binary pages table, so the mandated
+(url, warc_ts, html, text, lang) table is synthesized deterministically
+(FIXTURES.md §1) at a size derived from the sf directory name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from img2table_ray.sources.pages import generate_pages
+
+CORPUS_ROOT = "/tmp/img2table_ray_corpus"
+
+# rows per scale factor (docs; extraction cost ~140ms/doc for synth rows)
+SF_ROWS = {"sf0.001": 64, "sf0.01": 192, "sf0.1": 768}
+DEFAULT_ROWS = 64
+
+
+def corpus_for(sf_dir: str) -> str:
+    """Return (and lazily build) the pages corpus for a testdata sf dir."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_rows = SF_ROWS.get(sf_name, DEFAULT_ROWS)
+    out = os.path.join(CORPUS_ROOT, sf_name)
+    marker = os.path.join(out, f".complete-{n_rows}")
+    if not os.path.exists(marker):
+        generate_pages(out, n_rows)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+    return out

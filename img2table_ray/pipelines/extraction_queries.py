@@ -1,0 +1,134 @@
+"""queries() entries for the extraction engine (rows-only driver checks —
+image extraction is not SQL-expressible).
+
+Each callable takes a testdata sf_dir, derives the deterministic pages
+corpus for that scale, and returns a lazy Ray Dataset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from img2table_ray.pipelines.corpus import corpus_for
+from img2table_ray.pipelines.extraction import extract_pages
+from img2table_ray.stages.util import actor_concurrency
+
+
+def extract_tables(sf_dir: str) -> ray.data.Dataset:
+    """Full extraction pipeline output (one row per extracted table)."""
+    corpus = corpus_for(sf_dir)
+    return extract_pages(corpus, words_dir=f"{corpus}/words")
+
+
+def extract_tables_en(sf_dir: str) -> ray.data.Dataset:
+    """Same with a lang pushdown filter (projection + predicate demo)."""
+    corpus = corpus_for(sf_dir)
+    return extract_pages(corpus, words_dir=f"{corpus}/words", lang_filter="en")
+
+
+class _MetricsStage:
+    """Actor-pool stage: per-document image metrics only (A-phase ops)."""
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from img2table_ray.extract.metrics import compute_img_metrics
+        from img2table_ray.extract.threshold import threshold_dark_areas
+        from img2table_ray.imgops.png import decode_png
+
+        urls, cls, seps, ncs = [], [], [], []
+        for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            key = hashlib.md5(data).digest()
+            if key in self._cache:
+                cl, sep, nc = self._cache[key]
+            else:
+                try:
+                    img = decode_png(data)
+                    thresh = threshold_dark_areas(img=img, char_length=11)
+                    cl, sep, contours = compute_img_metrics(thresh.copy())
+                    nc = len(contours) if contours is not None else -1
+                except Exception:
+                    cl, sep, nc = None, None, -2
+                if len(self._cache) < 256:
+                    self._cache[key] = (cl, sep, nc)
+            urls.append(url)
+            cls.append(cl)
+            seps.append(sep)
+            ncs.append(nc)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "char_length": pa.array(cls, pa.float64()),
+                "median_line_sep": pa.array(seps, pa.float64()),
+                "n_contours": pa.array(ncs, pa.int64()),
+            }
+        )
+
+
+def extract_metrics(sf_dir: str) -> ray.data.Dataset:
+    """Per-url image metrics (char_length, median_line_sep, contours)."""
+    corpus = corpus_for(sf_dir)
+    return ray.data.read_parquet(f"{corpus}/pages", columns=["url", "html"]).map_batches(
+        _MetricsStage, batch_format="pyarrow", batch_size=16,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )
+
+
+class _LinesStage:
+    """Actor-pool stage: ruling-line detection summary per document."""
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from img2table_ray.extract.document import TableImage
+        from img2table_ray.imgops.png import decode_png
+
+        urls, nh, nv = [], [], []
+        for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            key = hashlib.md5(data).digest()
+            if key in self._cache:
+                h, v = self._cache[key]
+            else:
+                try:
+                    ti = TableImage(img=decode_png(data))
+                    if ti.char_length is None:
+                        h = v = 0
+                    else:
+                        from img2table_ray.extract.lines import detect_lines
+
+                        mll = (int(min(1.5 * ti.median_line_sep, 4 * ti.char_length))
+                               if ti.median_line_sep else 20)
+                        h_lines, v_lines = detect_lines(
+                            img=ti.img, contours=ti.contours,
+                            char_length=ti.char_length, min_line_length=mll)
+                        h, v = len(h_lines), len(v_lines)
+                except Exception:
+                    h = v = -1
+                if len(self._cache) < 256:
+                    self._cache[key] = (h, v)
+            urls.append(url)
+            nh.append(h)
+            nv.append(v)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_h_lines": pa.array(nh, pa.int64()),
+                "n_v_lines": pa.array(nv, pa.int64()),
+            }
+        )
+
+
+def extract_lines(sf_dir: str) -> ray.data.Dataset:
+    """Per-url detected ruling-line counts (B-phase ops)."""
+    corpus = corpus_for(sf_dir)
+    return ray.data.read_parquet(f"{corpus}/pages", columns=["url", "html"]).map_batches(
+        _LinesStage, batch_format="pyarrow", batch_size=16,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )

@@ -1,0 +1,167 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` Parquet table
+(schema mandated by BASELINE.json input_hint):
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+``html`` carries PNG bytes: either a reference fixture document (replicated
+across urls, cycled deterministically) or a generated synthetic table image
+with known grid + word layout.  A ``words`` sidecar parquet (url, hocr)
+carries the word-provider input (stands in for the external OCR service the
+reference integrates; joined back by url in the pipeline).
+
+Everything is seed-free deterministic: content depends only on the row
+index.  No wall clock, no RNG.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from img2table_ray.imgops.png import encode_png
+
+REF_FIXTURES = {
+    "test": "/root/reference/tests/document/image/test_data/test.png",
+    "dark": "/root/reference/tests/document/image/test_data/dark.png",
+    "blank": "/root/reference/tests/document/image/test_data/blank.png",
+}
+MOCK_HOCR = "/root/reference/tests/_mock_data/tesseract_hocr.html"
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+# ---- synthetic table-image generator -----------------------------------
+
+def synth_table_image(n_rows: int, n_cols: int, idx: int):
+    """Draw a bordered table grid with fake word blocks; return (gray image,
+    hOCR string with one word per cell).  Deterministic in (n_rows, n_cols,
+    idx); margins vary with idx so every row is a UNIQUE image (keeps the
+    extractor's memo-cache honest in benchmarks)."""
+    cell_w, cell_h = 90, 40
+    mx = 30 + (idx * 7) % 23
+    my = 30 + (idx * 11) % 19
+    width = mx * 2 + cell_w * n_cols
+    height = my * 2 + cell_h * n_rows
+    img = np.full((height, width), 255, dtype=np.uint8)
+
+    x0, y0 = mx, my
+    # grid lines (2px)
+    for r in range(n_rows + 1):
+        y = y0 + r * cell_h
+        img[y : y + 2, x0 : x0 + n_cols * cell_w + 2] = 0
+    for c in range(n_cols + 1):
+        x = x0 + c * cell_w
+        img[y0 : y0 + n_rows * cell_h + 2, x : x + 2] = 0
+
+    # fake words: small black blocks, 2 per cell (so char metrics resolve)
+    words = []
+    for r in range(n_rows):
+        for c in range(n_cols):
+            wx = x0 + c * cell_w + 10
+            wy = y0 + r * cell_h + 12
+            # "character" blocks per word: 5x14 (roundness < 0.7 so the
+            # dot-removal kernel keeps them), 3px gaps
+            for k in range(3):
+                bx = wx + k * 8
+                img[wy : wy + 14, bx : bx + 5] = 0
+            value = f"r{r}c{c}v{(idx + r * n_cols + c) % 97}"
+            words.append((f"word_{r}_{c}", value, wx, wy, wx + 21, wy + 14))
+
+    # hOCR document mirroring tesseract's structure
+    lines = [
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<html><body>",
+        f"<div class='ocr_page' id='page_1' title='bbox 0 0 {width} {height}'>",
+    ]
+    for wid, value, x1, y1, x2, y2 in words:
+        lines.append(
+            f"<span class='ocr_line' id='line_{wid}' title='bbox {x1} {y1} {x2} {y2}'>"
+            f"<span class='ocrx_word' id='{wid}' title='bbox {x1} {y1} {x2} {y2}; "
+            f"x_wconf 95'>{value}</span></span>"
+        )
+    lines.append("</div></body></html>")
+    return img, "\n".join(lines)
+
+
+_SYNTH_SHAPES = [(3, 3), (4, 2), (5, 4), (2, 5), (6, 3)]
+
+
+def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
+                   rows_per_file: int = 2000) -> str:
+    """Write pages/ + words/ parquet under out_dir; returns out_dir.
+
+    Row i: i % 8 in {0,1,2} -> a reference fixture (replicated; exercises
+    the memo-cache path), else a UNIQUE synthetic grid image.  A minority
+    slice gets lang='de' for predicate-pushdown tests."""
+    # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
+    # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
+    # Python, paid once per actor otherwise).
+    from img2table_ray.imgops.png import decode_png
+
+    fixture_bytes = (
+        {k: encode_png(decode_png(open(p, "rb").read())) for k, p in REF_FIXTURES.items()}
+        if include_fixtures else {}
+    )
+    mock_hocr = open(MOCK_HOCR).read() if include_fixtures else None
+    fixtures: list[tuple[str, bytes, str | None]] = []
+    for name, b in fixture_bytes.items():
+        fixtures.append((name, b, mock_hocr if name == "test" else None))
+
+    def doc_for(i: int):
+        if fixtures and i % 8 < len(fixtures):
+            return fixtures[i % 8]
+        shape = _SYNTH_SHAPES[i % len(_SYNTH_SHAPES)]
+        g, hocr = synth_table_image(shape[0], shape[1], i)
+        return (f"synth{shape[0]}x{shape[1]}", encode_png(g), hocr)
+
+    os.makedirs(f"{out_dir}/pages", exist_ok=True)
+    os.makedirs(f"{out_dir}/words", exist_ok=True)
+
+    file_idx = 0
+    for start in range(0, n_rows, rows_per_file):
+        stop = min(start + rows_per_file, n_rows)
+        urls, ts, html, text, lang = [], [], [], [], []
+        wurls, hocrs = [], []
+        for i in range(start, stop):
+            name, b, hocr = doc_for(i)
+            url = f"https://example.org/{name}/{i:08d}"
+            urls.append(url)
+            ts.append(_EPOCH + np.timedelta64(i, "s").astype("timedelta64[us]").item())
+            html.append(b)
+            text.append(f"pre-extracted text {i}")
+            lang.append("de" if i % 17 == 0 else "en")
+            if hocr is not None:
+                wurls.append(url)
+                hocrs.append(hocr)
+        pages = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(html, pa.binary()),
+                "text": pa.array(text, pa.string()),
+                "lang": pa.array(lang, pa.string()),
+            }
+        )
+        pq.write_table(pages, f"{out_dir}/pages/part-{file_idx:05d}.parquet")
+        words = pa.table(
+            {"url": pa.array(wurls, pa.string()), "hocr": pa.array(hocrs, pa.string())}
+        )
+        pq.write_table(words, f"{out_dir}/words/part-{file_idx:05d}.parquet")
+        file_idx += 1
+    return out_dir
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rows", type=int, default=64)
+    ap.add_argument("--no-fixtures", action="store_true")
+    args = ap.parse_args()
+    generate_pages(args.out, args.rows, include_fixtures=not args.no_fixtures)
+    print(f"wrote {args.rows} rows under {args.out}")

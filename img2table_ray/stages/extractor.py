@@ -1,0 +1,184 @@
+"""Ray Data stages for the extraction pipeline.
+
+``PageExtractor`` is the fused actor-pool stage (SURVEY.md §3): decode ->
+threshold -> metrics -> lines -> cells -> tables -> content -> titles per
+document, emitting one output row per extracted table (plus a no-table /
+error marker row per document so lineage is complete).  Actor state: decode
+memo-cache (corpora replicate documents heavily; a real deployment would use
+a C PNG decoder), warm numpy buffers, and the broadcast word lookup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import traceback
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("part", pa.int32()),
+        ("page", pa.int32()),
+        ("table_idx", pa.int32()),
+        ("x1", pa.int32()),
+        ("y1", pa.int32()),
+        ("x2", pa.int32()),
+        ("y2", pa.int32()),
+        ("title", pa.string()),
+        ("nb_rows", pa.int32()),
+        ("nb_columns", pa.int32()),
+        ("cells", pa.string()),  # JSON [[{x1,y1,x2,y2,value}...]...] row-major
+        ("extracted_text", pa.string()),  # canonical serialization (byte-stable)
+        ("status", pa.string()),  # ok | no_tables | error
+        ("error", pa.string()),
+    ]
+)
+
+
+def probe_batch(batch: pa.Table) -> pa.Table:
+    """SizeProbe: stateless, cheap.  Adds content size + container kind
+    (PNG/PDF magic sniff) used for size-aware routing — heavy multi-page
+    documents go to a dedicated pool (skew mitigation)."""
+    import pyarrow.compute as pc
+
+    html = batch["html"]
+    sizes = pc.binary_length(html)
+    kinds = []
+    for v in html:
+        b = v.as_py()[:8] if v.is_valid else b""
+        if b.startswith(b"\x89PNG"):
+            kinds.append("png")
+        elif b.startswith(b"%PDF"):
+            kinds.append("pdf")
+        else:
+            kinds.append("unknown")
+    return batch.append_column("doc_bytes", sizes).append_column(
+        "doc_kind", pa.array(kinds, pa.string())
+    )
+
+
+def partition_of(url: str, num_parts: int) -> int:
+    """Stable partition id for checkpoint/resume + output layout."""
+    return int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % num_parts
+
+
+class PageExtractor:
+    """Actor-pool UDF: pyarrow batch of pages rows -> pyarrow batch of
+    extracted-table rows (OUTPUT_SCHEMA)."""
+
+    def __init__(self, words_ref=None, num_parts: int = 64,
+                 implicit_rows: bool = True, borderless: bool = False,
+                 min_confidence: int = 50) -> None:
+        # Once-per-actor setup: broadcast word lookup + decode memo cache.
+        self._words: dict = ray.get(words_ref) if words_ref is not None else {}
+        self._decode_cache: dict = {}
+        self._extract_cache: dict = {}
+        self._num_parts = num_parts
+        self._implicit_rows = implicit_rows
+        self._borderless = borderless
+        self._min_confidence = min_confidence
+
+    def _decode(self, data: bytes):
+        from img2table_ray.imgops.png import decode_png
+
+        key = hashlib.md5(data).digest()
+        img = self._decode_cache.get(key)
+        if img is None:
+            img = decode_png(data)
+            if len(self._decode_cache) < 64:
+                self._decode_cache[key] = img
+        return key, img
+
+    def _extract(self, data: bytes, hocr: Optional[str]):
+        """Extraction result for (document bytes, hocr) — memoized, since
+        synthetic corpora replicate documents heavily.  Returns the list of
+        per-table dict rows (without url/part)."""
+        from img2table_ray.extract.content import OCRWords, parse_hocr
+        from img2table_ray.extract.document import extract_tables_from_image
+
+        ckey = (hashlib.md5(data).digest(), hashlib.md5((hocr or "").encode()).digest())
+        cached = self._extract_cache.get(ckey)
+        if cached is not None:
+            return cached
+
+        _, img = self._decode(data)
+        words = (
+            OCRWords.from_records(parse_hocr(hocr, page=0)) if hocr is not None else None
+        )
+        res = extract_tables_from_image(
+            img, words=words, implicit_rows=self._implicit_rows,
+            borderless_tables=self._borderless, min_confidence=self._min_confidence)
+
+        rows = []
+        for t_idx, tb in enumerate(res.tables):
+            cells_json = json.dumps(
+                [
+                    [
+                        {"x1": c.bbox.x1, "y1": c.bbox.y1, "x2": c.bbox.x2,
+                         "y2": c.bbox.y2, "value": c.value}
+                        for c in row
+                    ]
+                    for row in tb.content.values()
+                ],
+                ensure_ascii=False,
+            )
+            rows.append(
+                {
+                    "page": 0,
+                    "table_idx": t_idx,
+                    "x1": tb.bbox.x1, "y1": tb.bbox.y1,
+                    "x2": tb.bbox.x2, "y2": tb.bbox.y2,
+                    "title": tb.title,
+                    "nb_rows": tb.nb_rows, "nb_columns": tb.nb_columns,
+                    "cells": cells_json,
+                    "extracted_text": tb.canonical_text(),
+                    "status": "ok", "error": None,
+                }
+            )
+        if not rows:
+            rows.append(
+                {
+                    "page": 0, "table_idx": -1,
+                    "x1": -1, "y1": -1, "x2": -1, "y2": -1,
+                    "title": None, "nb_rows": 0, "nb_columns": 0,
+                    "cells": None, "extracted_text": None,
+                    "status": "no_tables", "error": None,
+                }
+            )
+        if len(self._extract_cache) < 256:
+            self._extract_cache[ckey] = rows
+        return rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}
+
+        for url, data in zip(urls, htmls):
+            part = partition_of(url, self._num_parts)
+            try:
+                rows = self._extract(data, self._words.get(url))
+            except Exception as exc:  # error records, never fail the block
+                rows = [
+                    {
+                        "page": 0, "table_idx": -1,
+                        "x1": -1, "y1": -1, "x2": -1, "y2": -1,
+                        "title": None, "nb_rows": 0, "nb_columns": 0,
+                        "cells": None, "extracted_text": None,
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {exc}\n"
+                                 + traceback.format_exc(limit=3),
+                    }
+                ]
+            for r in rows:
+                out["url"].append(url)
+                out["part"].append(part)
+                for k, v in r.items():
+                    out[k].append(v)
+
+        return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)

@@ -1,0 +1,137 @@
+"""Ray Data extraction-pipeline tests: e2e job, byte-identity vs the
+single-machine engine, partition-granular resume, and per-row error capture."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+CORPUS = "/tmp/i2tr_test_corpus"
+OUT = "/tmp/i2tr_test_out"
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    from img2table_ray.sources.pages import generate_pages
+
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    generate_pages(CORPUS, 48)
+    return CORPUS
+
+
+def _run_job(out_dir, **kw):
+    from img2table_ray.pipelines.extraction import run_extraction_job
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return run_extraction_job(CORPUS, out_dir, words_dir=f"{CORPUS}/words",
+                              num_parts=8, **kw)
+
+
+def _read_sorted(out_dir) -> pd.DataFrame:
+    from img2table_ray.state.manifest import data_dir
+
+    df = pq.read_table(data_dir(out_dir)).to_pandas()
+    return df.sort_values(["url", "table_idx"]).reset_index(drop=True)
+
+
+def test_job_end_to_end(ray_session, corpus):
+    res = _run_job(OUT)
+    assert len(res["new_parts"]) == 8
+    df = _read_sorted(OUT)
+
+    # every corpus url is represented (lineage completeness)
+    pages = pq.read_table(f"{CORPUS}/pages", columns=["url"])
+    assert set(df["url"]) == set(pages["url"].to_pylist())
+    assert (df["status"] != "error").all()
+
+    # byte-identity vs the single-machine engine on a fixture doc
+    from img2table_ray.extract.content import OCRWords, parse_hocr
+    from img2table_ray.extract.document import extract_tables_from_image
+    from img2table_ray.imgops.png import decode_png
+
+    pages_full = pq.read_table(f"{CORPUS}/pages")
+    words_tbl = pq.read_table(f"{CORPUS}/words")
+    lookup = dict(zip(words_tbl["url"].to_pylist(), words_tbl["hocr"].to_pylist()))
+    test_urls = [u for u in pages_full["url"].to_pylist() if "/test/" in u]
+    url = test_urls[0]
+    row = pages_full.to_pandas().set_index("url").loc[url]
+    direct = extract_tables_from_image(
+        decode_png(row["html"]),
+        words=OCRWords.from_records(parse_hocr(lookup[url])),
+        implicit_rows=True)
+    direct_texts = sorted(t.canonical_text() for t in direct.tables)
+    got_texts = sorted(df[(df["url"] == url) & (df["status"] == "ok")]["extracted_text"])
+    assert got_texts == direct_texts
+    assert len(got_texts) == 2  # test.png: two tables
+
+    # manifests present + coherent
+    from img2table_ray.state.manifest import completed_partitions
+
+    assert completed_partitions(OUT) == set(range(8))
+
+
+def test_job_resume_skips_done(ray_session, corpus):
+    full = _run_job(OUT + "_full")
+    baseline = _read_sorted(OUT + "_full")
+
+    # simulate a mid-run kill: drop manifests + data for half the partitions
+    out2 = OUT + "_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    shutil.copytree(OUT + "_full", out2)
+    from img2table_ray.state.manifest import data_dir, manifest_dir
+
+    for part in [1, 3, 5, 7]:
+        os.remove(os.path.join(manifest_dir(out2), f"{part}.json"))
+        shutil.rmtree(os.path.join(data_dir(out2), f"part={part}"), ignore_errors=True)
+    # also leave a PARTIAL (truncated) data dir for part 1 — must be cleared
+    os.makedirs(os.path.join(data_dir(out2), "part=1"), exist_ok=True)
+    pq.write_table(pa.table({"url": ["junk"]}),
+                   os.path.join(data_dir(out2), "part=1", "junk.parquet"))
+
+    from img2table_ray.pipelines.extraction import run_extraction_job
+
+    res = run_extraction_job(CORPUS, out2, words_dir=f"{CORPUS}/words", num_parts=8)
+    assert sorted(res["resumed_parts"]) == [0, 2, 4, 6]
+    assert sorted(res["new_parts"]) == [1, 3, 5, 7]
+
+    resumed = _read_sorted(out2)
+    pd.testing.assert_frame_equal(resumed, baseline)
+
+
+def test_error_rows_captured(ray_session):
+    from img2table_ray.pipelines.extraction import run_extraction_job
+
+    bad_dir = "/tmp/i2tr_bad_corpus"
+    shutil.rmtree(bad_dir, ignore_errors=True)
+    os.makedirs(f"{bad_dir}/pages")
+    tbl = pa.table(
+        {
+            "url": ["https://example.org/corrupt/0", "https://example.org/corrupt/1"],
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array([b"\x89PNGgarbage", b"not-even-png"], pa.binary()),
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    pq.write_table(tbl, f"{bad_dir}/pages/part-00000.parquet")
+
+    out = "/tmp/i2tr_bad_out"
+    shutil.rmtree(out, ignore_errors=True)
+    run_extraction_job(bad_dir, out, num_parts=2)
+    df = _read_sorted(out)
+    assert len(df) == 2
+    assert (df["status"] == "error").all()
+    assert df["error"].str.len().gt(0).all()
+
+
+def test_lang_filter_pushdown(ray_session, corpus):
+    from img2table_ray.pipelines.extraction import extract_pages
+
+    all_ds = extract_pages(CORPUS, words_dir=f"{CORPUS}/words")
+    en_ds = extract_pages(CORPUS, words_dir=f"{CORPUS}/words", lang_filter="de")
+    n_all_urls = all_ds.to_pandas()["url"].nunique()
+    n_de_urls = en_ds.to_pandas()["url"].nunique()
+    assert 0 < n_de_urls < n_all_urls
