@@ -69,7 +69,12 @@ def run_suite() -> dict:
     qs = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # warm the page cache + Ray worker pool with one untimed pass
+    # warm the page cache + Ray worker pool with one untimed pass; also
+    # pre-build the synthetic pages corpus so timed extraction measures the
+    # pipeline, not one-time corpus generation
+    from img2table_ray.pipelines.corpus import corpus_for
+
+    corpus_for(SF_DIR)
     _consume(qs[names[0]](SF_DIR))
 
     per_query: dict[str, float] = {}

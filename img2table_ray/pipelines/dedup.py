@@ -63,6 +63,10 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     partial = _docs(sf_dir).map_batches(
         hash_and_combine, batch_format="pandas", batch_size=4096
     )
+    # right-size blocks before the shuffle: the combiner output is a small
+    # fraction of the input, and Ray's sort-shuffle task count scales with
+    # input blocks (at 100 TB this coalesce is a no-op relative to data size)
+    partial = partial.repartition(8)
     return partial.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
@@ -127,12 +131,17 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
         batch_size=1024,
         concurrency=actor_concurrency(),
     )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    pairs = exploded.repartition(8).groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    # distinct pairs: groupby both columns, emit one row per group
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distinct pairs: native aggregate (no per-group Python), drop the count
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.repartition(8)
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
 
 
@@ -263,11 +272,15 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
              "hamming": ham[keep]}
         )
 
-    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
+    pairs = exploded.repartition(8).groupby(["chunk", "chunk_val"]).map_groups(
         chunk_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from ray.data.aggregate import Min as _Min
+
+    return (
+        pairs.repartition(8)
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(_Min("hamming", alias_name="hamming"))
     )
 
 

@@ -77,7 +77,14 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
         if lookup:
             words_ref = ray.put(lookup)
 
-    def extractor_stage(sub: ray.data.Dataset, batch_size: int) -> ray.data.Dataset:
+    # shared cross-actor memo cache (replicated web documents extract once
+    # per cluster, not once per actor) — see state/cache.py
+    from img2table_ray.state.cache import ExtractionCache
+
+    cache_handle = ExtractionCache.remote()
+
+    def extractor_stage(sub: ray.data.Dataset, batch_size: int,
+                        pool: int) -> ray.data.Dataset:
         return sub.map_batches(
             PageExtractor,
             fn_constructor_kwargs={
@@ -85,23 +92,30 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
                 "num_parts": num_parts,
                 "implicit_rows": implicit_rows,
                 "borderless": borderless,
+                "cache_handle": cache_handle,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=actor_concurrency(),
+            concurrency=pool,
             num_cpus=1,
         )
 
     # Skew mitigation: heavy documents (big multi-table pages / future PDFs)
-    # get their own stage with small batches so one giant row cannot stall a
-    # batch of light rows; light documents batch larger for throughput.
+    # get a dedicated SMALL pool with tiny batches so one giant row cannot
+    # stall a batch of light rows; light documents get the main pool.  The
+    # two fixed pools together must fit the cluster (fixed pools are created
+    # eagerly — oversubscribing deadlocks the union).
+    main_pool = actor_concurrency(reserve=4)
+    heavy_pool = max(1, min(2, main_pool // 4))
     heavy = ds.map_batches(
         lambda t: t.filter(pc.greater(t["doc_bytes"], HEAVY_BYTES)), batch_format="pyarrow"
     )
     light = ds.map_batches(
         lambda t: t.filter(pc.less_equal(t["doc_bytes"], HEAVY_BYTES)), batch_format="pyarrow"
     )
-    return extractor_stage(light, batch_size=16).union(extractor_stage(heavy, batch_size=2))
+    return extractor_stage(light, batch_size=16, pool=max(1, main_pool - heavy_pool)).union(
+        extractor_stage(heavy, batch_size=2, pool=heavy_pool)
+    )
 
 
 def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = None,

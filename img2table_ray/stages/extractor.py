@@ -73,11 +73,13 @@ class PageExtractor:
 
     def __init__(self, words_ref=None, num_parts: int = 64,
                  implicit_rows: bool = True, borderless: bool = False,
-                 min_confidence: int = 50) -> None:
-        # Once-per-actor setup: broadcast word lookup + decode memo cache.
+                 min_confidence: int = 50, cache_handle=None) -> None:
+        # Once-per-actor setup: broadcast word lookup + decode memo cache +
+        # optional shared cross-actor memo cache (state/cache.py).
         self._words: dict = ray.get(words_ref) if words_ref is not None else {}
         self._decode_cache: dict = {}
         self._extract_cache: dict = {}
+        self._cache = cache_handle
         self._num_parts = num_parts
         self._implicit_rows = implicit_rows
         self._borderless = borderless
@@ -154,15 +156,57 @@ class PageExtractor:
             self._extract_cache[ckey] = rows
         return rows
 
+    def _cache_key(self, data: bytes, hocr) -> tuple:
+        return (hashlib.md5(data).digest(), hashlib.md5((hocr or "").encode()).digest())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}
 
+        # shared-cache prefetch with single-flight claims: ONE RPC for the
+        # batch's local-miss keys; "wait" keys poll briefly (another actor
+        # is computing) before falling back to local compute
+        if self._cache is not None:
+            miss_keys = []
+            seen = set()
+            for url, data in zip(urls, htmls):
+                k = self._cache_key(data, self._words.get(url))
+                if k not in self._extract_cache and k not in seen:
+                    seen.add(k)
+                    miss_keys.append(k)
+            if miss_keys:
+                import time as _time
+
+                states = ray.get(self._cache.claim_many.remote(miss_keys))
+                wait_keys = []
+                for k, (state, v) in zip(miss_keys, states):
+                    if state == "hit":
+                        self._extract_cache[k] = v
+                    elif state == "wait":
+                        wait_keys.append(k)
+                deadline = _time.time() + 15.0
+                while wait_keys and _time.time() < deadline:
+                    _time.sleep(0.1)
+                    vals = ray.get(self._cache.get_many.remote(wait_keys))
+                    still = []
+                    for k, v in zip(wait_keys, vals):
+                        if v is not None:
+                            self._extract_cache[k] = v
+                        else:
+                            still.append(k)
+                    wait_keys = still
+
         for url, data in zip(urls, htmls):
             part = partition_of(url, self._num_parts)
             try:
+                k = self._cache_key(data, self._words.get(url))
+                fresh = k not in self._extract_cache
                 rows = self._extract(data, self._words.get(url))
+                if fresh and self._cache is not None:
+                    # publish IMMEDIATELY (fire-and-forget) so single-flight
+                    # waiters on this hot key unblock mid-batch
+                    self._cache.put_many.remote([(k, rows)])
             except Exception as exc:  # error records, never fail the block
                 rows = [
                     {
@@ -178,7 +222,7 @@ class PageExtractor:
             for r in rows:
                 out["url"].append(url)
                 out["part"].append(part)
-                for k, v in r.items():
-                    out[k].append(v)
+                for col, v in r.items():
+                    out[col].append(v)
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)
