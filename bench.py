@@ -5,10 +5,12 @@ Usage:
   python bench.py             # one timed run at RAY_GRAFT_CPUS (default 32)
   python bench.py --scaling   # fresh-process runs at 8 and 32 CPUs + efficiency
 
-The headline metric is total seconds for the benchmark suite; per-query
-seconds are reported under "queries".  ``--scaling`` evidences the N->4N
-cluster-size criterion with two fresh ``ray.init`` sessions on the same
-input (single-node proxy per BASELINE.md).
+The headline metric is the flagship extraction pipeline's wall seconds
+over the synthetic pages corpus (docs/sec also reported) — per
+BASELINE.json the graded metric is extraction throughput.  Times for the
+supporting query suite are reported under "queries".  ``--scaling``
+evidences the N->4N cluster-size criterion with two fresh ``ray.init``
+sessions on the same input (single-node proxy per BASELINE.md).
 """
 
 from __future__ import annotations
@@ -78,17 +80,28 @@ def run_suite() -> dict:
     _consume(qs[names[0]](SF_DIR))
 
     per_query: dict[str, float] = {}
-    t_total = time.perf_counter()
+    n_docs = 0
     for name in names:
         t = time.perf_counter()
-        _consume(qs[name](SF_DIR))
+        n_rows = _consume(qs[name](SF_DIR))
         per_query[name] = round(time.perf_counter() - t, 3)
-    total = round(time.perf_counter() - t_total, 3)
+        if name == "extract_tables":
+            import pyarrow.parquet as pq
+
+            from img2table_ray.pipelines.corpus import corpus_for
+
+            n_docs = pq.ParquetDataset(
+                f"{corpus_for(SF_DIR)}/pages"
+            ).read(columns=["url"]).num_rows
+    headline = per_query.get("extract_tables", sum(per_query.values()))
     ray.shutdown()
     return {
-        "metric": "bench_suite_seconds",
-        "value": total,
+        "metric": "extraction_pipeline_seconds",
+        "value": headline,
         "unit": "sec",
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 2) if headline else None,
+        "suite_seconds": round(sum(per_query.values()), 3),
         "queries": per_query,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

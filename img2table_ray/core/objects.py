@@ -221,6 +221,10 @@ class Table:
         return self.y2 - self.y1
 
     @property
+    def area(self) -> int:
+        return self.height * self.width
+
+    @property
     def cell(self) -> Cell:
         return Cell(x1=self.x1, y1=self.y1, x2=self.x2, y2=self.y2)
 

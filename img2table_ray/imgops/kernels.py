@@ -42,17 +42,24 @@ def _window_bounds(n: int, k: int, anchor: int) -> tuple[np.ndarray, np.ndarray]
 def window_sum(img: np.ndarray, kw: int, kh: int,
                ax: int | None = None, ay: int | None = None) -> np.ndarray:
     """Windowed sum with out-of-image treated as 0; anchor defaults to
-    (kw//2, kh//2) like cv2.getStructuringElement."""
+    (kw//2, kh//2) like cv2.getStructuringElement.
+
+    Implementation: edge-padded integral image + pure slicing (no fancy
+    indexing), int32 accumulation for small-dtype inputs — the hot kernel
+    of all morphology, so memory traffic matters."""
     if ax is None:
         ax = kw // 2
     if ay is None:
         ay = kh // 2
     h, w = img.shape
-    ii = _integral(img)
-    ylo, yhi = _window_bounds(h, kh, ay)
-    xlo, xhi = _window_bounds(w, kw, ax)
-    return (ii[np.ix_(yhi, xhi)] - ii[np.ix_(ylo, xhi)]
-            - ii[np.ix_(yhi, xlo)] + ii[np.ix_(ylo, xlo)])
+    dtype = np.int32 if img.dtype.kind in "ub" and img.size < 2 ** 22 else np.float64
+    ii = np.zeros((h + 1, w + 1), dtype=dtype)
+    np.cumsum(img, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    # P[r, c] = ii[clip(r - ay, 0, h), clip(c - ax, 0, w)]
+    P = np.pad(ii, ((ay, kh - 1 - ay), (ax, kw - 1 - ax)), mode="edge")
+    return (P[kh : kh + h, kw : kw + w].astype(np.float64)
+            - P[0:h, kw : kw + w] - P[kh : kh + h, 0:w] + P[0:h, 0:w])
 
 
 def dilate(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
@@ -164,13 +171,15 @@ def _convolve_axis(f: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
 def laplacian3_abs(gray: np.ndarray) -> np.ndarray:
     """cv2.Laplacian(gray, CV_64F, ksize=3) then cv2.convertScaleAbs:
     kernel [[2,0,2],[0,-8,0],[2,0,2]] (Sobel d2x + d2y), reflect-101
-    border, |.| rounded + saturated to uint8."""
-    f = np.pad(gray.astype(np.float64), 1, mode="reflect")
+    border, |.| saturated to uint8.  Integer kernel on uint8 input ->
+    exact in int16 (|values| <= 8*255)."""
+    f = np.pad(gray, 1, mode="reflect").astype(np.int16)
     lap = (
         2 * (f[:-2, :-2] + f[:-2, 2:] + f[2:, :-2] + f[2:, 2:])
-        - 8 * f[1:-1, 1:-1]
+        - 8 * f[1:-1, 1:-1].astype(np.int16)
     )
-    return np.clip(np.rint(np.abs(lap)), 0, 255).astype(np.uint8)
+    np.abs(lap, out=lap)
+    return np.minimum(lap, 255).astype(np.uint8)
 
 
 def bilateral3_color(img: np.ndarray, sigma_color: float = 40.0,
@@ -184,20 +193,26 @@ def bilateral3_color(img: np.ndarray, sigma_color: float = 40.0,
     f = img.astype(np.float32)
     gauss_color = -0.5 / (sigma_color ** 2)
     gauss_space = -0.5 / (sigma_space ** 2)
-    offsets = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
-    padded = np.pad(f, ((1, 1), (1, 1), (0, 0)), mode="reflect")  # BORDER_DEFAULT
-    num = np.zeros_like(f)
-    den = np.zeros((h, w, 3), dtype=np.float32)
+    i16 = img.astype(np.int16)
+    padded_i = np.pad(i16, ((1, 1), (1, 1), (0, 0)), mode="reflect")  # BORDER_DEFAULT
+    padded_f = padded_i.astype(np.float32)
+    # centre offset has weight exactly 1 (l1=0, exp(0)=1)
+    num = f.copy()
+    den = np.ones((h, w), dtype=np.float32)
     # OpenCV precomputes color weights on integer L1 distances 0..765
     cw_table = np.exp(gauss_color * (np.arange(256 * 3, dtype=np.float32) ** 2))
-    for dy, dx in offsets:
+    tmp = np.empty((h, w, 3), dtype=np.float32)
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
         sw = np.float32(np.exp(gauss_space * (dy * dy + dx * dx)))
-        nb = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
-        l1 = np.abs(nb - f).sum(axis=2).astype(np.int32)
-        wgt = (cw_table[l1] * sw)[:, :, None]
-        num += nb * wgt
+        nb_i = padded_i[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+        nb_f = padded_f[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+        l1 = np.abs(nb_i - i16).sum(axis=2)
+        wgt = cw_table[l1]
+        wgt *= sw
+        np.multiply(nb_f, wgt[:, :, None], out=tmp)
+        num += tmp
         den += wgt
-    out = num / den
+    out = num / den[:, :, None]
     # cv2 rounds to nearest on store
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 

@@ -152,3 +152,35 @@ def encode_png(img: np.ndarray) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", compressed) + chunk(b"IEND", b"")
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Minimal BMP decoder (24/32-bit uncompressed, bottom-up or top-down)
+    -> (H, W, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise PngError("not a BMP file")
+    offset = struct.unpack("<I", data[10:14])[0]
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise PngError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flip = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) // 4 * 4
+    arr = np.frombuffer(data, dtype=np.uint8, count=height * stride, offset=offset)
+    arr = arr.reshape(height, stride)[:, : width * nch].reshape(height, width, nch)
+    if flip:
+        arr = arr[::-1]
+    # BMP stores BGR(A) -> RGB
+    return arr[:, :, [2, 1, 0]].copy()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff container and decode PNG or BMP -> RGB array."""
+    if data[:8] == _SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise PngError("unsupported image container")

@@ -105,7 +105,7 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
     # stall a batch of light rows; light documents get the main pool.  The
     # two fixed pools together must fit the cluster (fixed pools are created
     # eagerly — oversubscribing deadlocks the union).
-    main_pool = actor_concurrency(reserve=4)
+    main_pool = actor_concurrency(reserve=2)
     heavy_pool = max(1, min(2, main_pool // 4))
     heavy = ds.map_batches(
         lambda t: t.filter(pc.greater(t["doc_bytes"], HEAVY_BYTES)), batch_format="pyarrow"
