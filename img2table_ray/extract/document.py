@@ -94,11 +94,15 @@ class TableImage:
 
 def extract_tables_from_image(img: np.ndarray, words: Optional[OCRWords] = None,
                               implicit_rows: bool = False, implicit_columns: bool = False,
-                              borderless_tables: bool = False,
+                              borderless_tables: bool = False, detect_rotation: bool = False,
                               min_confidence: int = 50) -> PageExtraction:
-    """Full single-page pipeline: detect tables, fill content from the word
-    provider, extract titles, apply final shape filters
-    (ref document/base/__init__.py:65-142)."""
+    """Full single-page pipeline: optional skew fix, detect tables, fill
+    content from the word provider, extract titles, apply final shape
+    filters (ref document/base/__init__.py:65-142, document/image.py:25-50)."""
+    if detect_rotation:
+        from img2table_ray.extract.rotation import fix_rotation_image
+
+        img, _ = fix_rotation_image(img=img)
     ti = TableImage(img=img, min_confidence=min_confidence)
     tables = ti.extract_tables(implicit_rows=implicit_rows,
                                implicit_columns=implicit_columns,

@@ -145,3 +145,34 @@ def test_image_e2e_blank(mock_words):
     res = extract_tables_from_image(img, words=mock_words, implicit_rows=True,
                                     min_confidence=50)
     assert res.tables == []
+
+
+def test_rotation_module():
+    # ref tests/document/base/test_rotation.py asserts
+    import numpy as np
+
+    from img2table_ray.extract.rotation import (
+        angle_dixon_q_test,
+        fix_rotation_image,
+        get_connected_components,
+        get_relevant_angles,
+        rotate_img_with_border,
+    )
+    from img2table_ray.imgops.kernels import rgb2gray
+
+    img = _png(f"{REF}/document/base/test_data/test.png")
+    cc, ref_h, thresh = get_connected_components(img_gray=rgb2gray(img))
+    assert len(cc) == 98
+
+    centroids = [[35.8676, 5473.6768], [45.4648, 8734.32], [476.386, 98.437],
+                 [9834.4648, 468.47], [746.746, 7348.43], [846.462, 8474.48],
+                 [2983.846, 94483.46], [1093.46, 8473.46], [3676.77, 84783.64]]
+    assert len(get_relevant_angles(np.array(centroids), ref_height=1000, n_max=5)) == 5
+
+    assert round(angle_dixon_q_test(angles=[12.23, 12.78, 12.79, 12.82], confidence=0.9), 3) == 12.797
+
+    rotated = rotate_img_with_border(img=img.copy(), angle=9)
+    _, was_rotated = fix_rotation_image(img=rotated)
+    assert was_rotated
+    _, straight_rotated = fix_rotation_image(img=img)
+    assert not straight_rotated
