@@ -86,13 +86,16 @@ def create_all_rectangles(cell_positions: list[CellPosition]) -> list[CellSpan]:
     return [cell_span]
 
 
-def html_table(extracted) -> str:
-    """Render an ExtractedTable as an HTML <table> with recovered spans.
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    Layout mirrors the reference's traversal (extraction.py:144-174) but the
-    output string is our own minimal serialization (the reference runs bs4
-    prettify; we emit compact single-line HTML)."""
-    # Group cell positions by identical TableCell
+
+def html_table(extracted) -> str:
+    """Render an ExtractedTable as an HTML <table> with recovered spans,
+    byte-identical to the reference's bs4-prettified output
+    (extraction.py:144-174): one tag per line, 1-space indent per depth,
+    text on its own line, `\\n` in values rendered as `<br/>`."""
+    # Group cell positions by identical TableCell (merged cells duplicate)
     groups: dict = {}
     for row_idx, row in extracted.content.items():
         for col_idx, cell in enumerate(row):
@@ -105,15 +108,21 @@ def html_table(extracted) -> str:
         for span in create_all_rectangles(cell_positions):
             spans.extend(span.html_cell_span())
 
-    # Emit row-major: for each row, the spans starting on it, by column
-    by_row: dict[int, list[CellSpan]] = {}
-    for s in spans:
-        by_row.setdefault(s.top_row, []).append(s)
-    parts = ["<table>"]
-    for row_idx in sorted(by_row):
-        parts.append("<tr>")
-        for s in sorted(by_row[row_idx], key=lambda s: s.col_left):
-            parts.append(s.html)
-        parts.append("</tr>")
-    parts.append("</table>")
-    return "".join(parts)
+    lines = ["<table>"]
+    for row_idx in range(len(extracted.content)):
+        row_spans = sorted([s for s in spans if s.top_row == row_idx],
+                           key=lambda s: s.col_left)
+        lines.append(" <tr>")
+        for s in row_spans:
+            lines.append(f'  <td colspan="{s.colspan}" rowspan="{s.rowspan}">')
+            if s.value is not None and s.value != "":
+                parts = s.value.split("\n")
+                for i, part in enumerate(parts):
+                    if part:
+                        lines.append(f"   {_escape_text(part)}")
+                    if i < len(parts) - 1:
+                        lines.append("   <br/>")
+            lines.append("  </td>")
+        lines.append(" </tr>")
+    lines.append("</table>")
+    return "\n".join(lines)

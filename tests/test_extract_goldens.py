@@ -176,3 +176,38 @@ def test_rotation_module():
     assert was_rotated
     _, straight_rotated = fix_rotation_image(img=img)
     assert not straight_rotated
+
+
+def test_html_and_rectangles_goldens():
+    # ref tests/tables/objects/test_extraction.py:13-37
+    from img2table_ray.core.objects import BBox, Cell, Row, Table, TableCell, table_to_extracted
+    from img2table_ray.core.spans import CellPosition, CellSpan, create_all_rectangles
+
+    c = TableCell(bbox=BBox(x1=0, y1=0, x2=0, y2=0), value="Test")
+    cps = [CellPosition(cell=c, row=r, col=col) for r, col in
+           [(0, 0), (1, 0), (2, 0), (3, 0), (0, 1), (1, 1), (2, 1), (3, 1),
+            (2, 2), (3, 2), (2, 3), (3, 3)]]
+    assert create_all_rectangles(cell_positions=cps) == [
+        CellSpan(top_row=0, bottom_row=3, col_left=0, col_right=1, value="Test"),
+        CellSpan(top_row=2, bottom_row=3, col_left=2, col_right=3, value="Test")]
+
+    base = f"{REF}/tables/objects/test_data"
+    table = [Table(rows=[Row(cells=[Cell(**el) for el in row]) for row in tb])
+             for tb in json.load(open(f"{base}/expected_tables.json"))].pop()
+    expected = open(f"{base}/table.html").read()
+    assert table_to_extracted(table).html == expected
+
+
+def test_xlsx_golden(mock_words):
+    # ref tests/document/image/test_image.py:95-108 (cell-by-cell vs expected.xlsx)
+    from img2table_ray.core.xlsx import read_xlsx_values, tables_to_xlsx
+    from img2table_ray.extract.document import extract_tables_from_image
+
+    img = _png(f"{REF}/document/image/test_data/test.png")
+    res = extract_tables_from_image(img, words=mock_words, implicit_rows=True,
+                                    min_confidence=50)
+    got = read_xlsx_values(tables_to_xlsx({0: res.tables}))
+    exp = read_xlsx_values(open(f"{REF}/document/image/test_data/expected.xlsx", "rb").read())
+    assert list(got) == list(exp)
+    for name in exp:
+        assert got[name] == exp[name], name
