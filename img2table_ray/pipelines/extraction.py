@@ -26,7 +26,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from img2table_ray.stages.extractor import OUTPUT_SCHEMA, PageExtractor, probe_batch, partition_of
+from img2table_ray.stages.extractor import (
+    OUTPUT_SCHEMA,
+    PageExtractor,
+    explode_pages,
+    partition_of,
+    probe_batch,
+)
 from img2table_ray.stages.util import actor_concurrency
 from img2table_ray.state import manifest as mf
 
@@ -41,12 +47,17 @@ def _add_part(batch: pa.Table, num_parts: int) -> pa.Table:
 
 
 def load_words_lookup(words_dir: str) -> dict:
-    """Driver-side load of the words sidecar -> {url: hocr}.  Small side of
-    the broadcast join (only table-bearing fixture docs carry words)."""
+    """Driver-side load of the words sidecar -> {(url, page): hocr}.  Small
+    side of the broadcast join; at 100 TB this becomes a hash join on
+    (url, page)."""
     if not os.path.isdir(words_dir):
         return {}
     tbl = pq.read_table(words_dir)
-    return dict(zip(tbl["url"].to_pylist(), tbl["hocr"].to_pylist()))
+    if "page" in tbl.schema.names:
+        return {(u, p): h for u, p, h in zip(tbl["url"].to_pylist(),
+                                             tbl["page"].to_pylist(),
+                                             tbl["hocr"].to_pylist())}
+    return {(u, 0): h for u, h in zip(tbl["url"].to_pylist(), tbl["hocr"].to_pylist())}
 
 
 def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int = 64,
@@ -70,6 +81,8 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
         )
 
     ds = ds.map_batches(probe_batch, batch_format="pyarrow")
+    # 1 multi-page doc -> N page rows BEFORE the heavy per-page work
+    ds = ds.map_batches(explode_pages, batch_format="pyarrow")
 
     words_ref = None
     if words_dir is not None:

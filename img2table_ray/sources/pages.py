@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from img2table_ray.extract.pdf import encode_mpng
 from img2table_ray.imgops.png import encode_png
 
 REF_FIXTURES = {
@@ -95,8 +96,10 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     """Write pages/ + words/ parquet under out_dir; returns out_dir.
 
     Row i: i % 8 in {0,1,2} -> a reference fixture (replicated; exercises
-    the memo-cache path), else a UNIQUE synthetic grid image.  A minority
-    slice gets lang='de' for predicate-pushdown tests."""
+    the memo-cache path); i % 16 == 7 -> a heavy MULTI-PAGE document (MPNG
+    container, 3 unique pages — exercises the 1-doc -> N-page-rows explode
+    and the heavy-pool skew routing); else a UNIQUE synthetic grid image.
+    A minority slice gets lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
     # Python, paid once per actor otherwise).
@@ -112,11 +115,21 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
         fixtures.append((name, b, mock_hocr if name == "test" else None))
 
     def doc_for(i: int):
+        """Returns (name, html bytes, [(page, hocr), ...])."""
         if fixtures and i % 8 < len(fixtures):
-            return fixtures[i % 8]
+            name, b, hocr = fixtures[i % 8]
+            return (name, b, [(0, hocr)] if hocr else [])
+        if i % 16 == 7:
+            pages_png, hocrs = [], []
+            for k in range(3):
+                shape = _SYNTH_SHAPES[(i + k) % len(_SYNTH_SHAPES)]
+                g, hocr = synth_table_image(shape[0], shape[1], i + k * 1000003)
+                pages_png.append(encode_png(g))
+                hocrs.append((k, hocr))
+            return ("multi", encode_mpng(pages_png), hocrs)
         shape = _SYNTH_SHAPES[i % len(_SYNTH_SHAPES)]
         g, hocr = synth_table_image(shape[0], shape[1], i)
-        return (f"synth{shape[0]}x{shape[1]}", encode_png(g), hocr)
+        return (f"synth{shape[0]}x{shape[1]}", encode_png(g), [(0, hocr)])
 
     os.makedirs(f"{out_dir}/pages", exist_ok=True)
     os.makedirs(f"{out_dir}/words", exist_ok=True)
@@ -125,17 +138,18 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     for start in range(0, n_rows, rows_per_file):
         stop = min(start + rows_per_file, n_rows)
         urls, ts, html, text, lang = [], [], [], [], []
-        wurls, hocrs = [], []
+        wurls, wpages, hocrs = [], [], []
         for i in range(start, stop):
-            name, b, hocr = doc_for(i)
+            name, b, page_hocrs = doc_for(i)
             url = f"https://example.org/{name}/{i:08d}"
             urls.append(url)
             ts.append(_EPOCH + np.timedelta64(i, "s").astype("timedelta64[us]").item())
             html.append(b)
             text.append(f"pre-extracted text {i}")
             lang.append("de" if i % 17 == 0 else "en")
-            if hocr is not None:
+            for page, hocr in page_hocrs:
                 wurls.append(url)
+                wpages.append(page)
                 hocrs.append(hocr)
         pages = pa.table(
             {
@@ -148,7 +162,9 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
         )
         pq.write_table(pages, f"{out_dir}/pages/part-{file_idx:05d}.parquet")
         words = pa.table(
-            {"url": pa.array(wurls, pa.string()), "hocr": pa.array(hocrs, pa.string())}
+            {"url": pa.array(wurls, pa.string()),
+             "page": pa.array(wpages, pa.int32()),
+             "hocr": pa.array(hocrs, pa.string())}
         )
         pq.write_table(words, f"{out_dir}/words/part-{file_idx:05d}.parquet")
         file_idx += 1

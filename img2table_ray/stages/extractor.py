@@ -42,24 +42,59 @@ OUTPUT_SCHEMA = pa.schema(
 
 def probe_batch(batch: pa.Table) -> pa.Table:
     """SizeProbe: stateless, cheap.  Adds content size + container kind
-    (PNG/PDF magic sniff) used for size-aware routing — heavy multi-page
-    documents go to a dedicated pool (skew mitigation)."""
+    (PNG/MPNG/PDF magic sniff) used for the page explode and size-aware
+    routing — heavy documents go to a dedicated pool (skew mitigation)."""
     import pyarrow.compute as pc
+
+    from img2table_ray.extract.pdf import sniff_kind
 
     html = batch["html"]
     sizes = pc.binary_length(html)
-    kinds = []
-    for v in html:
-        b = v.as_py()[:8] if v.is_valid else b""
-        if b.startswith(b"\x89PNG"):
-            kinds.append("png")
-        elif b.startswith(b"%PDF"):
-            kinds.append("pdf")
-        else:
-            kinds.append("unknown")
+    kinds = [sniff_kind(v.as_py()[:8] if v.is_valid else b"") for v in html]
     return batch.append_column("doc_bytes", sizes).append_column(
         "doc_kind", pa.array(kinds, pa.string())
     )
+
+
+def explode_pages(batch: pa.Table) -> pa.Table:
+    """1 multi-page document row -> N per-page rows (SURVEY.md §4: explode
+    BEFORE the heavy per-page work so a many-page document cannot stall one
+    actor slot).  Page bytes are container slices — no decode here."""
+    from img2table_ray.extract.pdf import split_mpng
+
+    if "mpng" not in set(batch["doc_kind"].to_pylist()):
+        return batch.append_column(
+            "page", pa.array([0] * len(batch), pa.int32()))
+
+    cols: dict[str, list] = {name: [] for name in batch.schema.names}
+    pages_col: list[int] = []
+    rows = batch.to_pylist()
+    for row in rows:
+        if row["doc_kind"] == "mpng":
+            try:
+                page_bytes = split_mpng(row["html"])
+            except ValueError:
+                page_bytes = [row["html"]]
+            for p, pb in enumerate(page_bytes):
+                for name in cols:
+                    if name == "html":
+                        cols[name].append(pb)
+                    elif name == "doc_bytes":
+                        cols[name].append(len(pb))
+                    elif name == "doc_kind":
+                        cols[name].append("png")
+                    else:
+                        cols[name].append(row[name])
+                pages_col.append(p)
+        else:
+            for name in cols:
+                cols[name].append(row[name])
+            pages_col.append(0)
+    arrays = []
+    for field in batch.schema:
+        arrays.append(pa.array(cols[field.name], field.type))
+    out = pa.Table.from_arrays(arrays, schema=batch.schema)
+    return out.append_column("page", pa.array(pages_col, pa.int32()))
 
 
 def partition_of(url: str, num_parts: int) -> int:
@@ -86,12 +121,19 @@ class PageExtractor:
         self._min_confidence = min_confidence
 
     def _decode(self, data: bytes):
-        from img2table_ray.imgops.png import decode_png
+        from img2table_ray.extract.pdf import sniff_kind
+        from img2table_ray.imgops.png import decode_image
 
         key = hashlib.md5(data).digest()
         img = self._decode_cache.get(key)
         if img is None:
-            img = decode_png(data)
+            if sniff_kind(data[:8]) == "pdf":
+                from img2table_ray.extract.pdf import PdfiumRenderer
+
+                # clearly-marked stub: real PDFs need pypdfium2 on workers
+                img = PdfiumRenderer().render(data)[0]
+            else:
+                img = decode_image(data)
             if len(self._decode_cache) < 64:
                 self._decode_cache[key] = img
         return key, img
@@ -162,6 +204,8 @@ class PageExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
+        pages = (batch["page"].to_pylist() if "page" in batch.schema.names
+                 else [0] * len(batch))
         out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}
 
         # shared-cache prefetch with single-flight claims: ONE RPC for the
@@ -170,8 +214,8 @@ class PageExtractor:
         if self._cache is not None:
             miss_keys = []
             seen = set()
-            for url, data in zip(urls, htmls):
-                k = self._cache_key(data, self._words.get(url))
+            for url, page, data in zip(urls, pages, htmls):
+                k = self._cache_key(data, self._words.get((url, page)))
                 if k not in self._extract_cache and k not in seen:
                     seen.add(k)
                     miss_keys.append(k)
@@ -197,12 +241,12 @@ class PageExtractor:
                             still.append(k)
                     wait_keys = still
 
-        for url, data in zip(urls, htmls):
+        for url, page, data in zip(urls, pages, htmls):
             part = partition_of(url, self._num_parts)
             try:
-                k = self._cache_key(data, self._words.get(url))
+                k = self._cache_key(data, self._words.get((url, page)))
                 fresh = k not in self._extract_cache
-                rows = self._extract(data, self._words.get(url))
+                rows = self._extract(data, self._words.get((url, page)))
                 if fresh and self._cache is not None:
                     # publish IMMEDIATELY (fire-and-forget) so single-flight
                     # waiters on this hot key unblock mid-batch
@@ -223,6 +267,6 @@ class PageExtractor:
                 out["url"].append(url)
                 out["part"].append(part)
                 for col, v in r.items():
-                    out[col].append(v)
+                    out[col].append(page if col == "page" else v)
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)

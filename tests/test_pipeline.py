@@ -135,3 +135,32 @@ def test_lang_filter_pushdown(ray_session, corpus):
     n_all_urls = all_ds.to_pandas()["url"].nunique()
     n_de_urls = en_ds.to_pandas()["url"].nunique()
     assert 0 < n_de_urls < n_all_urls
+
+
+def test_multipage_explode_and_pdf_stub(ray_session):
+    """Multi-page MPNG docs explode to per-page rows with per-page words;
+    real-PDF bytes hit the clearly-marked pypdfium2 stub as error rows."""
+    from img2table_ray.pipelines.extraction import extract_pages
+    from img2table_ray.sources.pages import generate_pages
+
+    d = "/tmp/i2tr_mp_corpus"
+    shutil.rmtree(d, ignore_errors=True)
+    generate_pages(d, 32)
+    df = extract_pages(d, words_dir=f"{d}/words").to_pandas()
+    multi = df[df["url"].str.contains("/multi/")]
+    assert sorted(multi["page"].unique()) == [0, 1, 2]
+    ok = multi[multi["status"] == "ok"]
+    assert (ok.groupby(["url", "page"]).size() == 1).all()
+    assert ok["extracted_text"].str.contains("r0c0").all()
+
+    pdf_dir = "/tmp/i2tr_pdf_corpus"
+    shutil.rmtree(pdf_dir, ignore_errors=True)
+    os.makedirs(f"{pdf_dir}/pages")
+    pq.write_table(pa.table({
+        "url": ["https://example.org/pdfdoc/0"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([b"%PDF-1.4 fake"], pa.binary()),
+        "text": [""], "lang": ["en"]}), f"{pdf_dir}/pages/p.parquet")
+    df2 = extract_pages(pdf_dir).to_pandas()
+    assert df2["status"].tolist() == ["error"]
+    assert "pypdfium2" in df2["error"].iloc[0]
