@@ -61,7 +61,8 @@ def load_words_lookup(words_dir: str) -> dict:
 
 
 def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int = 64,
-                  skip_parts: set[int] | None = None, implicit_rows: bool = True,
+                  skip_parts: set[int] | None = None,
+                  keep_parts: set[int] | None = None, implicit_rows: bool = True,
                   borderless: bool = False, lang_filter: str | None = None) -> ray.data.Dataset:
     """Build the lazy extraction Dataset (no sink)."""
     columns = ["url", "html"] if lang_filter is None else ["url", "html", "lang"]
@@ -77,6 +78,12 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
         skip = pa.array(sorted(skip_parts), pa.int32())
         ds = ds.map_batches(
             lambda t, s=skip: t.filter(pc.invert(pc.is_in(t["part"], value_set=s))),
+            batch_format="pyarrow",
+        )
+    if keep_parts is not None:
+        keep = pa.array(sorted(keep_parts), pa.int32())
+        ds = ds.map_batches(
+            lambda t, s=keep: t.filter(pc.is_in(t["part"], value_set=s)),
             batch_format="pyarrow",
         )
 
@@ -133,9 +140,12 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
 
 def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = None,
                        num_parts: int = 16, implicit_rows: bool = True,
-                       borderless: bool = False) -> dict:
-    """Resumable job: skips partitions with complete manifests, clears
-    partial output for incomplete ones, writes data + manifests."""
+                       borderless: bool = False, waves: int = 4) -> dict:
+    """Resumable job: partitions with complete manifests are skipped; the
+    remaining partitions run in ``waves`` checkpoint rounds, each wave
+    writing its data directories and then publishing manifests — so a kill
+    at ANY point loses at most one wave of work.  Partial data of
+    unfinished partitions is cleared before rewriting (idempotent)."""
     t0 = time.time()
     done = mf.completed_partitions(out_dir)
     ddir = mf.data_dir(out_dir)
@@ -148,27 +158,34 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
                 if part not in done:
                     shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
 
-    ds = extract_pages(pages_dir, words_dir=words_dir, num_parts=num_parts,
-                       skip_parts=done, implicit_rows=implicit_rows,
-                       borderless=borderless)
-    ds.write_parquet(ddir, partition_cols=["part"])
-
-    # lineage/metrics: aggregate the freshly written partitions (small read)
+    todo = sorted(set(range(num_parts)) - done)
+    wave_size = max(1, -(-len(todo) // max(1, waves)))
     stats = {}
-    for name in os.listdir(ddir):
-        if not name.startswith("part="):
-            continue
-        part = int(name.split("=")[1])
-        if part in done:
-            continue
-        tbl = pq.read_table(os.path.join(ddir, name), columns=["url", "status"])
-        n_docs = len(set(tbl["url"].to_pylist()))
-        statuses = tbl["status"].to_pylist()
-        n_tables = sum(1 for s in statuses if s == "ok")
-        n_errors = sum(1 for s in statuses if s == "error")
-        mf.write_manifest(out_dir, part, n_docs=n_docs, n_tables=n_tables,
-                          n_errors=n_errors, wall_s=time.time() - t0)
-        stats[part] = {"n_docs": n_docs, "n_tables": n_tables, "n_errors": n_errors}
+    for w in range(0, len(todo), wave_size):
+        wave_parts = set(todo[w : w + wave_size])
+        ds = extract_pages(pages_dir, words_dir=words_dir, num_parts=num_parts,
+                           keep_parts=wave_parts, implicit_rows=implicit_rows,
+                           borderless=borderless)
+        ds.write_parquet(ddir, partition_cols=["part"])
+
+        # publish manifests for this wave (data is durable at this point)
+        for part in sorted(wave_parts):
+            part_dir = os.path.join(ddir, f"part={part}")
+            if not os.path.isdir(part_dir):
+                # partition had no input rows; publish an empty manifest
+                mf.write_manifest(out_dir, part, n_docs=0, n_tables=0,
+                                  n_errors=0, wall_s=time.time() - t0)
+                stats[part] = {"n_docs": 0, "n_tables": 0, "n_errors": 0}
+                continue
+            tbl = pq.read_table(part_dir, columns=["url", "status"])
+            n_docs = len(set(tbl["url"].to_pylist()))
+            statuses = tbl["status"].to_pylist()
+            n_tables = sum(1 for s in statuses if s == "ok")
+            n_errors = sum(1 for s in statuses if s == "error")
+            mf.write_manifest(out_dir, part, n_docs=n_docs, n_tables=n_tables,
+                              n_errors=n_errors, wall_s=time.time() - t0)
+            stats[part] = {"n_docs": n_docs, "n_tables": n_tables,
+                           "n_errors": n_errors}
 
     return {
         "out_dir": out_dir,

@@ -1,0 +1,84 @@
+"""True kill/resume test: SIGKILL a running extraction job mid-flight, resume
+it in a fresh process, and verify the final output equals an uninterrupted
+run (BASELINE.md resumability criterion).
+
+Runs the job in its own process group (its own Ray session) so the kill
+cannot pollute the pytest session's Ray."""
+
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+CORPUS = "/tmp/i2tr_kill_corpus"
+
+JOB_SCRIPT = """
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from img2table_ray.pipelines.extraction import run_extraction_job
+res = run_extraction_job("{corpus}", "{out}", words_dir="{corpus}/words", num_parts=12)
+print("JOB_DONE", sorted(res["new_parts"]))
+ray.shutdown()
+"""
+
+
+def _run_job(out_dir: str, kill_after: float | None = None) -> bool:
+    """Run the job in a subprocess; optionally SIGKILL the process group
+    after kill_after seconds.  Returns True if the job completed."""
+    env = dict(os.environ, RAY_TMPDIR=f"/tmp/ray_kill_{os.path.basename(out_dir)}")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", JOB_SCRIPT.format(corpus=CORPUS, out=out_dir)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True, env=env,
+    )
+    if kill_after is None:
+        out, _ = proc.communicate(timeout=420)
+        return "JOB_DONE" in out
+    time.sleep(kill_after)
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=60)
+    return False
+
+
+def _read_sorted(out_dir: str) -> pd.DataFrame:
+    from img2table_ray.state.manifest import data_dir
+
+    df = pq.read_table(data_dir(out_dir)).to_pandas()
+    return df.sort_values(["url", "page", "table_idx"]).reset_index(drop=True)
+
+
+def test_kill_and_resume():
+    from img2table_ray.sources.pages import generate_pages
+    from img2table_ray.state.manifest import completed_partitions
+
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    generate_pages(CORPUS, 96)
+
+    baseline_out = "/tmp/i2tr_kill_baseline"
+    shutil.rmtree(baseline_out, ignore_errors=True)
+    assert _run_job(baseline_out)
+    baseline = _read_sorted(baseline_out)
+
+    killed_out = "/tmp/i2tr_kill_victim"
+    shutil.rmtree(killed_out, ignore_errors=True)
+    _run_job(killed_out, kill_after=20.0)  # SIGKILL mid-run
+    done_after_kill = completed_partitions(killed_out)
+    # wave checkpointing: some partitions complete, some not -> a genuine
+    # mid-run interruption with real progress to preserve
+    assert 0 < len(done_after_kill) < 12
+
+    # resume in a fresh process: must complete and match the baseline
+    assert _run_job(killed_out)
+    assert completed_partitions(killed_out) == set(range(12))
+    resumed = _read_sorted(killed_out)
+    pd.testing.assert_frame_equal(resumed, baseline)
