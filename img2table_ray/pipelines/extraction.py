@@ -63,8 +63,14 @@ def load_words_lookup(words_dir: str) -> dict:
 def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int = 64,
                   skip_parts: set[int] | None = None,
                   keep_parts: set[int] | None = None, implicit_rows: bool = True,
-                  borderless: bool = False, lang_filter: str | None = None) -> ray.data.Dataset:
-    """Build the lazy extraction Dataset (no sink)."""
+                  borderless: bool = False, lang_filter: str | None = None,
+                  join_words: bool = False) -> ray.data.Dataset:
+    """Build the lazy extraction Dataset (no sink).
+
+    ``join_words=False`` broadcasts the words sidecar via ``ray.put`` (the
+    small-side fast path).  ``join_words=True`` uses a hash-partitioned
+    ``Dataset.join`` on (url, page) — the 100 TB path where the OCR-words
+    table is as large as the pages table and cannot be broadcast."""
     columns = ["url", "html"] if lang_filter is None else ["url", "html", "lang"]
     ds = ray.data.read_parquet(f"{pages_dir}/pages", columns=columns)
     if lang_filter is not None:
@@ -92,7 +98,15 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
     ds = ds.map_batches(explode_pages, batch_format="pyarrow")
 
     words_ref = None
-    if words_dir is not None:
+    if words_dir is not None and join_words:
+        words_ds = ray.data.read_parquet(words_dir)
+        # modest partition count + fractional-CPU aggregators so the join
+        # coexists with the fixed extraction pools on small sessions
+        n_join_parts = max(2, actor_concurrency() // 2)
+        ds = ds.join(words_ds, join_type="left_outer",
+                     num_partitions=n_join_parts, on=("url", "page"),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    elif words_dir is not None:
         lookup = load_words_lookup(words_dir)
         if lookup:
             words_ref = ray.put(lookup)

@@ -206,6 +206,12 @@ class PageExtractor:
         htmls = batch["html"].to_pylist()
         pages = (batch["page"].to_pylist() if "page" in batch.schema.names
                  else [0] * len(batch))
+        # words either arrive as a joined column (hash-join path) or via the
+        # broadcast lookup (small-side path)
+        if "hocr" in batch.schema.names:
+            hocr_list = batch["hocr"].to_pylist()
+        else:
+            hocr_list = [self._words.get((u, p)) for u, p in zip(urls, pages)]
         out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}
 
         # shared-cache prefetch with single-flight claims: ONE RPC for the
@@ -214,8 +220,8 @@ class PageExtractor:
         if self._cache is not None:
             miss_keys = []
             seen = set()
-            for url, page, data in zip(urls, pages, htmls):
-                k = self._cache_key(data, self._words.get((url, page)))
+            for data, hocr in zip(htmls, hocr_list):
+                k = self._cache_key(data, hocr)
                 if k not in self._extract_cache and k not in seen:
                     seen.add(k)
                     miss_keys.append(k)
@@ -241,12 +247,12 @@ class PageExtractor:
                             still.append(k)
                     wait_keys = still
 
-        for url, page, data in zip(urls, pages, htmls):
+        for url, page, data, hocr in zip(urls, pages, htmls, hocr_list):
             part = partition_of(url, self._num_parts)
             try:
-                k = self._cache_key(data, self._words.get((url, page)))
+                k = self._cache_key(data, hocr)
                 fresh = k not in self._extract_cache
-                rows = self._extract(data, self._words.get((url, page)))
+                rows = self._extract(data, hocr)
                 if fresh and self._cache is not None:
                     # publish IMMEDIATELY (fire-and-forget) so single-flight
                     # waiters on this hot key unblock mid-batch

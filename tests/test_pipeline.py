@@ -164,3 +164,17 @@ def test_multipage_explode_and_pdf_stub(ray_session):
     df2 = extract_pages(pdf_dir).to_pandas()
     assert df2["status"].tolist() == ["error"]
     assert "pypdfium2" in df2["error"].iloc[0]
+
+
+def test_words_hash_join_matches_broadcast(ray_session, corpus):
+    """The 100 TB words path (hash-partitioned Dataset.join on (url, page))
+    produces output identical to the broadcast small-side path."""
+    from img2table_ray.pipelines.extraction import extract_pages
+
+    key = ["url", "page", "table_idx"]
+    cols = key + ["extracted_text", "status"]
+    a = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words", join_words=True)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], b[cols])
