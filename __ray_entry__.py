@@ -51,14 +51,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash_near_dup": dedup.simhash_near_dup,  # rows-only
+        "simhash_near_dup": dedup.simhash_near_dup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only (approximate)
+        "winnow_fingerprints": docops.winnow_fingerprints,
         # --- relational / windowed demos ---
         "pricing_summary": relational.pricing_summary,
         "events_hourly": relational.events_hourly,
+        "sessionize": relational.sessionize,
         "nation_revenue": relational.nation_revenue,
     }
 
@@ -76,6 +78,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "ann_topk": oracles.ann_topk_sql(),
+        "simhash_near_dup": oracles.simhash_near_dup_sql(),
+        "winnow_fingerprints": oracles.winnow_fingerprints_sql(),
+        "sessionize": oracles.sessionize_sql(),
         "pricing_summary": oracles.pricing_summary_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "nation_revenue": oracles.nation_revenue_sql(),

@@ -148,3 +148,51 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=2048
     )
+
+
+WINNOW_K = 5  # character k-grams
+WINNOW_W = 4  # winnowing window (Schleimer et al. 2003, "local algorithms")
+
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing document fingerprints (rolling k-gram hashes, window
+    minimum): doc_id, n_fingerprints, min_fp, max_fp — SQL-mirrorable via
+    md5-based k-gram hashes and list window minima.
+
+    Hash = first 15 hex chars of md5(k-gram) as int (matches the DuckDB
+    hex-cast trick); window min ties resolve to the SMALLEST hash value,
+    deduplicated set semantics like the original algorithm.
+    """
+    from img2table_ray.functions.hashing import md5_int60_many
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_fp, min_fp, max_fp = [], [], []
+        for text in batch["text"]:
+            t = hashing.normalize_text(text)
+            grams = [t[i : i + WINNOW_K] for i in range(max(0, len(t) - WINNOW_K + 1))]
+            if not grams:
+                n_fp.append(0)
+                min_fp.append(None)
+                max_fp.append(None)
+                continue
+            hs = md5_int60_many(grams)
+            if len(hs) <= WINNOW_W:
+                fps = {int(hs.min())}
+            else:
+                # sliding-window min in int64 (pandas rolling().min() would
+                # round-trip through float64 and corrupt 60-bit hashes)
+                wins = np.lib.stride_tricks.sliding_window_view(hs, WINNOW_W)
+                fps = set(int(v) for v in np.unique(wins.min(axis=1)))
+            n_fp.append(len(fps))
+            min_fp.append(min(fps))
+            max_fp.append(max(fps))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_fingerprints": pd.Series(n_fp, dtype="int64"),
+            "min_fp": pd.Series(min_fp, dtype="Int64"),
+            "max_fp": pd.Series(max_fp, dtype="Int64"),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=2048
+    )

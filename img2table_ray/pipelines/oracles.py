@@ -78,12 +78,16 @@ SELECT doc_id, CASE {ladder} END AS pred_lang, {cols} FROM s
 """
 
 
-def doc_fingerprint_sql() -> str:
-    terms = "\n    + ".join(
+def _simhash_terms() -> str:
+    return "\n    + ".join(
         f"(CASE WHEN list_sum(list_transform(ti, v -> ((v >> {j}) & 1)*2 - 1)) > 0"
         f" THEN (1::BIGINT << {j}) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+
+
+def doc_fingerprint_sql() -> str:
+    terms = _simhash_terms()
     return f"""
 WITH t AS (
   SELECT doc_id, md5({_NORM}) AS content_hash,
@@ -213,4 +217,69 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1
+"""
+
+
+def simhash_near_dup_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs: 15-bit chunk blocking + Hamming verify,
+    mirrored via DuckDB xor/bit_count."""
+    terms = _simhash_terms()
+    chunk_match = " OR ".join(
+        f"((a.simhash >> {15 * c}) & 32767) = ((b.simhash >> {15 * c}) & 32767)"
+        for c in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(x), 1, {HEX_CHARS}))::BIGINT for x in {_TOKENS_NORM}] AS ti
+  FROM documents),
+s AS (SELECT doc_id, ({terms})::BIGINT AS simhash FROM t)
+SELECT a.doc_id::BIGINT AS doc_id_a, b.doc_id::BIGINT AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ({chunk_match})
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE THEN 1
+              ELSE 0 END AS gap_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+def winnow_fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+g AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(nt, i, {k})), 1, {HEX_CHARS}))::BIGINT
+          for i in generate_series(1, greatest(len(nt) - {k - 1}, 0))] AS hs
+  FROM t),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) <= {w} THEN [list_min(hs)]
+              ELSE list_distinct([list_min(list_slice(hs, i, i + {w - 1}))
+                                  for i in generate_series(1, len(hs) - {w - 1})])
+         END AS fps
+  FROM g)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM f
 """

@@ -152,3 +152,37 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     df["total_revenue"] = np.round(df["total_revenue"], 2)
     df["n_orders"] = df["n_orders"].astype("int64")
     return df[["n_name", "total_revenue", "n_orders"]]
+
+
+SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+
+
+def sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based session windows over the events stream (the stream-shaped
+    pattern: partition by key, sort by ts within the group, window with
+    pandas).  Per session: user_id, session_id (0-based per user),
+    session_start, session_end, n_events, sum_value (round 4).
+
+    Scale note: groupby(user_id) hash-partitions the log; each group sorts
+    locally — no global sort.  Oracle: lag/island detection in SQL.
+    """
+    import ray.data
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        session_id = gap.cumsum().fillna(0).astype("int64")
+        out = g.assign(session_id=session_id).groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("ts", "size"), sum_value=("value", "sum"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = np.round(out["sum_value"], 4)
+        return out
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
