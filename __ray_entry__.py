@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tables_en": extraction_queries.extract_tables_en,
         "extract_metrics": extraction_queries.extract_metrics,
         "extract_lines": extraction_queries.extract_lines,
+        "extract_tables_borderless": extraction_queries.extract_tables_borderless,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

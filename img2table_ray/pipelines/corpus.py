@@ -14,7 +14,7 @@ from img2table_ray.sources.pages import generate_pages
 CORPUS_ROOT = "/tmp/img2table_ray_corpus"
 
 # rows per scale factor (docs; extraction cost ~140ms/doc for synth rows)
-SF_ROWS = {"sf0.001": 64, "sf0.01": 192, "sf0.1": 3072}
+SF_ROWS = {"sf0.001": 64, "sf0.01": 192, "sf0.1": 6144}
 DEFAULT_ROWS = 64
 
 

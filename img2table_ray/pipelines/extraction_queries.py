@@ -132,3 +132,56 @@ def extract_lines(sf_dir: str) -> ray.data.Dataset:
         _LinesStage, batch_format="pyarrow", batch_size=16,
         concurrency=actor_concurrency(), num_cpus=1,
     )
+
+
+def _borderless_corpus(sf_dir: str) -> str:
+    """Small dedicated corpus including the reference's borderless fixture
+    (kept separate from the main corpus: borderless docs cost ~3.5 s each)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from img2table_ray.imgops.png import decode_image, encode_png
+    from img2table_ray.pipelines.corpus import CORPUS_ROOT
+    from img2table_ray.sources.pages import _EPOCH, _SYNTH_SHAPES, synth_table_image
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CORPUS_ROOT, f"borderless-{sf_name}")
+    marker = os.path.join(out, ".complete-v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(f"{out}/pages", exist_ok=True)
+    fixture = encode_png(decode_image(open(
+        "/root/reference/tests/tables/processing/borderless_tables/"
+        "borderless_tables/test_data/test.png", "rb").read()))
+    urls, html = [], []
+    for i in range(8):
+        if i % 2 == 0:
+            urls.append(f"https://example.org/borderless/{i:08d}")
+            html.append(fixture)
+        else:
+            shape = _SYNTH_SHAPES[i % len(_SYNTH_SHAPES)]
+            g, _ = synth_table_image(shape[0], shape[1], i)
+            urls.append(f"https://example.org/synth/{i:08d}")
+            html.append(encode_png(g))
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([_EPOCH] * len(urls), pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array([""] * len(urls), pa.string()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+    })
+    pq.write_table(tbl, f"{out}/pages/part-00000.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def extract_tables_borderless(sf_dir: str) -> ray.data.Dataset:
+    """Extraction with the borderless chain enabled (C1-C13 through the Ray
+    pipeline; rows-only check — detects the reference's borderless fixture
+    as a 16-row table without ruling lines)."""
+    corpus = _borderless_corpus(sf_dir)
+    return extract_pages(corpus, words_dir=None, borderless=True,
+                         implicit_rows=False)

@@ -111,6 +111,19 @@ class PageExtractor:
                  min_confidence: int = 50, cache_handle=None) -> None:
         # Once-per-actor setup: broadcast word lookup + decode memo cache +
         # optional shared cross-actor memo cache (state/cache.py).
+        #
+        # malloc tuning: keep freed arenas (no trim, no mmap for big arrays)
+        # so numpy temporaries reuse warm pages.  This sandbox faults fresh
+        # memory at ~7.5 MB/s (hypervisor lazy paging), so page reuse is the
+        # difference between 100 ms and 10 s per page batch.
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL("libc.so.6")
+            libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass
         self._words: dict = ray.get(words_ref) if words_ref is not None else {}
         self._decode_cache: dict = {}
         self._extract_cache: dict = {}
