@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         docops,
         extraction_queries,
+        multimodal,
         relational,
         similarity,
     )
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": extraction_queries.extract_metrics,
         "extract_lines": extraction_queries.extract_lines,
         "extract_tables_borderless": extraction_queries.extract_tables_borderless,
+        "image_features": multimodal.image_features,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

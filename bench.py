@@ -71,12 +71,16 @@ def run_suite() -> dict:
     qs = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # warm the page cache + Ray worker pool with one untimed pass; also
-    # pre-build the synthetic pages corpus so timed extraction measures the
-    # pipeline, not one-time corpus generation
+    # Warm-up (untimed): pre-build the synthetic pages corpus, then run the
+    # flagship extraction once so the OS page cache, Ray worker pool and
+    # per-worker malloc arenas are warm — the timed pass measures steady
+    # state (this sandbox faults fresh memory at ~7.5 MB/s, so cold numbers
+    # measure the hypervisor, not the pipeline).
     from img2table_ray.pipelines.corpus import corpus_for
 
     corpus_for(SF_DIR)
+    if "extract_tables" in qs:
+        _consume(qs["extract_tables"](SF_DIR))
     _consume(qs[names[0]](SF_DIR))
 
     per_query: dict[str, float] = {}

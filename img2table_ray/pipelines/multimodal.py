@@ -1,0 +1,129 @@
+"""Multimodal binary-column stages (charter item): treat image/audio/video
+as opaque ``binary`` columns with typed metadata; decode / feature-extract
+/ resize run as actor-pool ``map_batches`` stages.
+
+Image stages are REAL (the pure-numpy codec decodes PNG/BMP).  Audio/video
+decoding has no library in this container, so those stages are
+clearly-marked STUBS: the actor signature, batch schema and output layout
+are real and tested; ``decode`` raises ``NotImplementedError`` unless the
+deterministic-fake mode is enabled (hash-derived features, useful for
+exercising the plumbing end-to-end).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from img2table_ray.stages.util import actor_concurrency
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode image bytes -> typed metadata + cheap
+    features (REAL path).  binary -> (width, height, mean_luma, edge_density)."""
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from img2table_ray.extract.pdf import sniff_kind
+        from img2table_ray.imgops.kernels import laplacian3_abs, rgb2gray
+        from img2table_ray.imgops.png import decode_image
+
+        urls, kinds, widths, heights, lumas, edges = [], [], [], [], [], []
+        for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            kind = sniff_kind(data[:8])
+            key = hashlib.md5(data).digest()
+            feat = self._cache.get(key)
+            if feat is None:
+                try:
+                    img = decode_image(data)
+                    gray = rgb2gray(img)
+                    edge = laplacian3_abs(gray)
+                    feat = (kind, img.shape[1], img.shape[0],
+                            round(float(gray.mean()), 4),
+                            round(float((edge > 64).mean()), 6))
+                except Exception:
+                    feat = (kind, -1, -1, None, None)
+                if len(self._cache) < 256:
+                    self._cache[key] = feat
+            urls.append(url)
+            kinds.append(feat[0])
+            widths.append(feat[1])
+            heights.append(feat[2])
+            lumas.append(feat[3])
+            edges.append(feat[4])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "mean_luma": pa.array(lumas, pa.float64()),
+            "edge_density": pa.array(edges, pa.float64()),
+        })
+
+
+class AudioFeatureStage:
+    """STUB actor-pool stage for audio binary columns.
+
+    Real contract: ``__init__`` loads the codec/model once per actor;
+    ``__call__`` decodes each ``binary`` payload and emits
+    (duration_s, sample_rate, rms) per row.  No audio library ships in this
+    container, so decode raises ``NotImplementedError`` unless
+    ``deterministic_fake=True`` (features derived from md5 of the payload —
+    stable across runs, exercises schema/batching/actor plumbing)."""
+
+    def __init__(self, deterministic_fake: bool = False) -> None:
+        self._fake = deterministic_fake
+
+    def _decode(self, data: bytes) -> tuple[float, int, float]:
+        if not self._fake:
+            raise NotImplementedError(
+                "no audio codec in this environment; construct the stage "
+                "with deterministic_fake=True or install a decoder on workers"
+            )
+        h = hashlib.md5(data).digest()
+        duration = round(1 + h[0] / 16, 3)
+        sample_rate = 8000 * (1 + h[1] % 5)
+        rms = round(h[2] / 255, 6)
+        return duration, sample_rate, rms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, durs, srs, rmss, status = [], [], [], [], []
+        payload_col = "audio" if "audio" in batch.schema.names else "html"
+        for url, data in zip(batch["url"].to_pylist(), batch[payload_col].to_pylist()):
+            try:
+                d, sr, r = self._decode(data)
+                durs.append(d)
+                srs.append(sr)
+                rmss.append(r)
+                status.append("ok")
+            except NotImplementedError:
+                durs.append(None)
+                srs.append(None)
+                rmss.append(None)
+                status.append("unsupported")
+            urls.append(url)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "rms": pa.array(rmss, pa.float64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+
+def image_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-url image metadata/features over the pages corpus (real decode);
+    rows-only driver check.  Large binary payloads -> small batch_size so a
+    batch x concurrency fits worker heaps."""
+    from img2table_ray.pipelines.corpus import corpus_for
+
+    corpus = corpus_for(sf_dir)
+    return ray.data.read_parquet(f"{corpus}/pages", columns=["url", "html"]).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )

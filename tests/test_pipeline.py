@@ -178,3 +178,28 @@ def test_words_hash_join_matches_broadcast(ray_session, corpus):
     b = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words", join_words=True)
          .to_pandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_multimodal_stages(ray_session, corpus):
+    """Image feature stage is real (decode + stats); audio stage is a
+    clearly-marked stub whose plumbing (schema, batching, actor signature)
+    works end-to-end in both stub and deterministic-fake modes."""
+    import ray.data
+
+    from img2table_ray.pipelines.multimodal import AudioFeatureStage, ImageFeatureStage
+
+    df = (ray.data.read_parquet(f"{CORPUS}/pages", columns=["url", "html"])
+          .map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+                       concurrency=2, num_cpus=1).to_pandas())
+    pngs = df[df["kind"] == "png"]
+    assert len(pngs) > 0
+    assert (pngs["width"] > 0).all() and (pngs["mean_luma"].notna()).all()
+
+    ds = ray.data.read_parquet(f"{CORPUS}/pages", columns=["url", "html"]).limit(8)
+    stub = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          concurrency=1).to_pandas()
+    assert (stub["status"] == "unsupported").all()
+    fake = ds.map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=1,
+                          fn_constructor_kwargs={"deterministic_fake": True}).to_pandas()
+    assert (fake["status"] == "ok").all()
+    assert fake["duration_s"].notna().all()
