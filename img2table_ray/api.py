@@ -1,0 +1,154 @@
+"""User-facing document API mirroring the reference's surface
+(ref: src/img2table/document/image.py, document/base/__init__.py:114-189,
+ocr/base.py:9-41) so a reference user can switch with minimal edits:
+
+    from img2table_ray.api import Image, HocrOCR
+    tables = Image(src="page.png").extract_tables(
+        ocr=HocrOCR(["<hocr...>"]), implicit_rows=True, borderless_tables=True)
+    Image(src="page.png").to_xlsx("out.xlsx", ocr=...)
+
+Single-document, local execution (no Ray session needed) — the distributed
+surface is ``img2table_ray.pipelines.extraction``.
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from img2table_ray.core.objects import ExtractedTable
+
+
+class OCRInstance:
+    """Word-provider protocol (ref ocr/base.py:9-41): ``of(document)``
+    returns per-page OCRWords."""
+
+    def of(self, document: "Document"):
+        raise NotImplementedError
+
+
+class HocrOCR(OCRInstance):
+    """Word provider from pre-computed hOCR strings, one per page — the
+    drop-in stand-in for TesseractOCR when the OCR ran externally."""
+
+    def __init__(self, hocr_pages: list[str]) -> None:
+        self.hocr_pages = hocr_pages
+
+    def of(self, document: "Document"):
+        from img2table_ray.extract.content import OCRWords, parse_hocr
+
+        records = []
+        for page, hocr in enumerate(self.hocr_pages):
+            records.extend(parse_hocr(hocr, page=page))
+        return OCRWords.from_records(records)
+
+
+class Document:
+    """(ref document/base/__init__.py:24-63)"""
+
+    def __init__(self, src: Union[str, Path, io.BytesIO, bytes],
+                 detect_rotation: bool = False) -> None:
+        if not isinstance(src, (str, Path, io.BytesIO, bytes)):
+            raise TypeError(f"Invalid type {type(src)} for src argument")
+        if not isinstance(detect_rotation, bool):
+            raise TypeError(
+                f"Invalid type {type(detect_rotation)} for detect_rotation argument")
+        self.src = src
+        self.detect_rotation = detect_rotation
+
+    @property
+    def bytes(self) -> bytes:
+        if isinstance(self.src, bytes):
+            return self.src
+        if isinstance(self.src, io.BytesIO):
+            self.src.seek(0)
+            return self.src.read()
+        with Path(self.src).open("rb") as f:
+            return f.read()
+
+    @property
+    def images(self) -> list[np.ndarray]:
+        raise NotImplementedError
+
+    def extract_tables(self, ocr: Optional[OCRInstance] = None,
+                       implicit_rows: bool = False, implicit_columns: bool = False,
+                       borderless_tables: bool = False,
+                       min_confidence: int = 50) -> dict[int, list[ExtractedTable]]:
+        """(ref base/__init__.py:114-142) {page: [ExtractedTable]}"""
+        from img2table_ray.extract.document import extract_tables_from_image
+
+        words = ocr.of(self) if ocr is not None else None
+        out: dict[int, list[ExtractedTable]] = {}
+        for idx, img in enumerate(self.images):
+            page_words = words.page(idx) if words is not None else None
+            res = extract_tables_from_image(
+                img, words=page_words, implicit_rows=implicit_rows,
+                implicit_columns=implicit_columns,
+                borderless_tables=borderless_tables,
+                detect_rotation=self.detect_rotation,
+                min_confidence=min_confidence)
+            out[idx] = res.tables
+        return out
+
+    def to_xlsx(self, dest: Union[str, Path, io.BytesIO], **kwargs):
+        """(ref base/__init__.py:144-189) one worksheet per extracted table."""
+        from img2table_ray.core.xlsx import tables_to_xlsx
+
+        tables = self.extract_tables(**kwargs)
+        if isinstance(tables, list):  # Image returns the flat page-0 list
+            tables = {0: tables}
+        data = tables_to_xlsx(tables)
+        if isinstance(dest, io.BytesIO):
+            dest.write(data)
+            dest.seek(0)
+            return dest
+        with Path(dest).open("wb") as f:
+            f.write(data)
+        return dest
+
+
+class Image(Document):
+    """(ref document/image.py): single-page image document.
+
+    NB: unlike the reference (which returns page 0's list), extract_tables
+    keeps the {page: tables} mapping for API uniformity; ``tables``
+    property gives the flat list."""
+
+    @property
+    def images(self) -> list[np.ndarray]:
+        from img2table_ray.imgops.png import decode_image
+
+        return [decode_image(self.bytes)]
+
+    def extract_tables(self, **kwargs) -> list[ExtractedTable]:  # type: ignore[override]
+        return super().extract_tables(**kwargs)[0]
+
+
+class MultiPageDocument(Document):
+    """Multi-page document over the MPNG container (PDF stand-in; real PDFs
+    need pypdfium2 — see extract/pdf.py)."""
+
+    def __init__(self, src, pages: Optional[list[int]] = None,
+                 detect_rotation: bool = False) -> None:
+        super().__init__(src, detect_rotation=detect_rotation)
+        self.pages = sorted(pages) if isinstance(pages, list) else None
+
+    @property
+    def images(self) -> list[np.ndarray]:
+        from img2table_ray.extract.pdf import split_mpng
+        from img2table_ray.imgops.png import decode_image
+
+        page_bytes = split_mpng(self.bytes)
+        if self.pages is not None:
+            page_bytes = [page_bytes[p] for p in self.pages]
+        return [decode_image(b) for b in page_bytes]
+
+    def extract_tables(self, **kwargs) -> dict[int, list[ExtractedTable]]:
+        tables = super().extract_tables(**kwargs)
+        if self.pages:
+            # remap output keys to original page indices (ref base/__init__.py:138-140)
+            tables = {self.pages[k]: v for k, v in tables.items()}
+        return tables
