@@ -1,0 +1,167 @@
+"""Remaining operator-level goldens from the reference's unit tests
+(cell identification/dedup, clustering, normalization, semi-bordered,
+table creation, implicit rows/columns)."""
+
+import json
+
+import polars as pl
+
+REF = "/root/reference/tests/tables/processing/bordered_tables"
+
+
+def _cells_csv(path):
+    from img2table_ray.core.objects import Cell
+
+    return [Cell(x1=r["x1"], x2=r["x2"], y1=r["y1"], y2=r["y2"])
+            for r in pl.read_csv(path, separator=";").to_dicts()]
+
+
+def _key(c):
+    return (c.x1, c.y1, c.x2, c.y2)
+
+
+def test_cells_identification_golden():
+    from img2table_ray.core.objects import Line
+    from img2table_ray.extract.cells import get_cells_dataframe
+
+    base = f"{REF}/cells/test_data"
+    data = json.load(open(f"{base}/lines.json"))
+    result = get_cells_dataframe(
+        horizontal_lines=[Line(**el) for el in data["h_lines"]],
+        vertical_lines=[Line(**el) for el in data["v_lines"]])
+    expected = _cells_csv(f"{base}/expected_ident_cells.csv")
+    assert sorted(result, key=_key) == sorted(expected, key=_key)
+
+
+def test_cells_deduplication_golden():
+    from img2table_ray.extract.cells import deduplicate_cells
+
+    base = f"{REF}/cells/test_data"
+    cells = _cells_csv(f"{base}/expected_ident_cells.csv")
+    result = deduplicate_cells(cells=cells)
+    expected = _cells_csv(f"{base}/expected.csv")
+    assert sorted(result, key=_key) == sorted(expected, key=_key)
+
+
+def test_cell_clustering_golden():
+    from img2table_ray.core.objects import Cell
+    from img2table_ray.extract.tables import cluster_cells_in_tables
+
+    base = f"{REF}/tables/test_data"
+    cells = [Cell(**el) for el in json.load(open(f"{base}/cells.json"))]
+    result = cluster_cells_in_tables(cells=cells)
+    expected = [[Cell(**el) for el in cl]
+                for cl in json.load(open(f"{base}/cells_clustered.json"))]
+    assert all(cl in result for cl in expected)
+    assert all(cl in expected for cl in result)
+
+
+def test_normalize_table_cells_golden():
+    from img2table_ray.core.objects import Cell
+    from img2table_ray.extract.tables import normalize_table_cells
+
+    base = f"{REF}/tables/test_data"
+    clusters = [[Cell(**el) for el in cl]
+                for cl in json.load(open(f"{base}/cells_clustered.json"))]
+    result = [normalize_table_cells(cluster_cells=cl) for cl in clusters]
+    expected = [[Cell(**el) for el in cl]
+                for cl in json.load(open(f"{base}/cell_clusters_normalized.json"))]
+    assert result == expected
+
+
+def test_cluster_to_table_golden():
+    from img2table_ray.core.objects import Cell, Row, Table
+    from img2table_ray.extract.tables import cluster_to_table
+
+    base = f"{REF}/tables/test_data"
+    clusters = [[Cell(**el) for el in cl]
+                for cl in json.load(open(f"{base}/cell_clusters_normalized.json"))]
+    contours = [Cell(**el) for el in json.load(open(f"{base}/contours.json"))]
+    result = [cluster_to_table(cl, contours) for cl in clusters]
+    expected = [Table(rows=[Row(cells=[Cell(**el) for el in row]) for row in tb])
+                for tb in json.load(open(f"{base}/tables_from_cells.json"))]
+    assert result == expected
+
+
+def test_remove_unwanted_elements_golden():
+    from img2table_ray.core.objects import Cell, Row, Table
+    from img2table_ray.extract.tables import remove_unwanted_elements
+
+    table = Table(rows=[
+        Row(cells=[Cell(x1=0, y1=0, x2=20, y2=20), Cell(x1=20, y1=0, x2=40, y2=20),
+                   Cell(x1=40, y1=0, x2=60, y2=20)]),
+        Row(cells=[Cell(x1=0, y1=20, x2=20, y2=40), Cell(x1=20, y1=20, x2=40, y2=40),
+                   Cell(x1=40, y1=20, x2=60, y2=40)]),
+        Row(cells=[Cell(x1=0, y1=40, x2=20, y2=60), Cell(x1=20, y1=40, x2=40, y2=60),
+                   Cell(x1=40, y1=40, x2=60, y2=60)])])
+    elements = [Cell(x1=25, y1=5, x2=35, y2=15), Cell(x1=45, y1=5, x2=55, y2=15),
+                Cell(x1=25, y1=25, x2=35, y2=35), Cell(x1=45, y1=25, x2=55, y2=35)]
+    result = remove_unwanted_elements(table=table, elements=elements)
+    expected = Table(rows=[
+        Row(cells=[Cell(x1=20, y1=0, x2=40, y2=20), Cell(x1=40, y1=0, x2=60, y2=20)]),
+        Row(cells=[Cell(x1=20, y1=20, x2=40, y2=40), Cell(x1=40, y1=20, x2=60, y2=40)])])
+    assert result == expected
+
+
+def test_semi_bordered_goldens():
+    from img2table_ray.core.objects import Cell, Line
+    from img2table_ray.extract.tables import (
+        _get_lines_in_cluster,
+        _identify_potential_new_cells,
+        _identify_table_dimensions,
+        _update_cluster_cells,
+        add_semi_bordered_cells,
+    )
+
+    cluster = [Cell(x1=100, x2=200, y1=100, y2=200)]
+    lines = [Line(x1=50, x2=205, y1=100, y2=100),
+             Line(x1=50, x2=205, y1=200, y2=200),
+             Line(x1=100, x2=100, y1=30, y2=270),
+             Line(x1=200, x2=200, y1=30, y2=270)]
+    h_cl, v_cl = _get_lines_in_cluster(cluster=cluster, lines=lines)
+    assert h_cl == lines[:2]
+    assert v_cl == lines[2:]
+
+    dims = _identify_table_dimensions(cluster, h_cl, v_cl, char_length=5)
+    assert dims == (50, 200, 30, 270)
+
+    new_cells = _identify_potential_new_cells(cluster, h_cl, v_cl, *dims)
+    expected_new = [Cell(x1=100, y1=200, x2=200, y2=270), Cell(x1=50, y1=30, x2=100, y2=100),
+                    Cell(x1=50, y1=100, x2=100, y2=200), Cell(x1=100, y1=100, x2=200, y2=200),
+                    Cell(x1=100, y1=30, x2=200, y2=100), Cell(x1=50, y1=200, x2=100, y2=270)]
+    assert sorted(new_cells, key=_key) == sorted(expected_new, key=_key)
+
+    updated = _update_cluster_cells(cluster=cluster, new_cells=expected_new)
+    assert sorted(updated, key=_key) == sorted(expected_new, key=_key)
+
+    full = add_semi_bordered_cells(cluster=cluster, lines=lines, char_length=5)
+    assert sorted(full, key=_key) == sorted(expected_new, key=_key)
+
+
+def test_implicit_goldens():
+    from img2table_ray.core.objects import Cell, Row, Table
+    from img2table_ray.extract.borderless.model import ImageSegment
+    from img2table_ray.extract.implicit import implicit_columns_lines, implicit_rows_lines
+    from img2table_ray.extract.tables import implicit_content
+
+    base = f"{REF}/tables/test_data"
+    table = Table(rows=[Row(cells=[Cell(**el) for el in row])
+                        for row in json.load(open(f"{base}/table_implicit.json"))])
+    contours = [Cell(**el) for el in json.load(open(f"{base}/contours_implicit.json"))]
+    segment = ImageSegment(x1=table.x1, y1=table.y1, x2=table.x2, y2=table.y2,
+                           elements=contours)
+
+    rows_lines = implicit_rows_lines(table=table, segment=segment)
+    assert all(line.width == table.width for line in rows_lines)
+    assert sorted(line.y1 for line in rows_lines) == [
+        682, 716, 784, 817, 884, 919, 986, 1020, 1089, 1121, 1189, 1223,
+        1292, 1325, 1394, 1427, 1494, 1529, 1597, 1630]
+
+    cols_lines = implicit_columns_lines(table=table, segment=segment, char_length=11)
+    assert all(line.height == table.height for line in cols_lines)
+    assert sorted(line.x1 for line in cols_lines) == [395, 605, 725, 809, 886, 1212, 1285, 1396]
+
+    result = implicit_content(table=table, contours=contours, char_length=11,
+                              implicit_rows=True, implicit_columns=True)
+    assert result.nb_rows == table.nb_rows + 20
+    assert result.nb_columns == table.nb_columns + 8
