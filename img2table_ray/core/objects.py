@@ -139,6 +139,12 @@ class Row:
     def v_consistent(self) -> bool:
         return all((c.y1 == self.y1) and (c.y2 == self.y2) for c in self._items)
 
+    def bbox(self, margin: int = 0, height_margin: int = 0, width_margin: int = 0) -> tuple:
+        if margin != 0:
+            return (self.x1 - margin, self.y1 - margin, self.x2 + margin, self.y2 + margin)
+        return (self.x1 - width_margin, self.y1 - height_margin,
+                self.x2 + width_margin, self.y2 + height_margin)
+
     def add_cells(self, cells) -> "Row":
         self._items += [cells] if isinstance(cells, Cell) else cells
         return self
@@ -227,6 +233,12 @@ class Table:
     @property
     def cell(self) -> Cell:
         return Cell(x1=self.x1, y1=self.y1, x2=self.x2, y2=self.y2)
+
+    def bbox(self, margin: int = 0, height_margin: int = 0, width_margin: int = 0) -> tuple:
+        if margin != 0:
+            return (self.x1 - margin, self.y1 - margin, self.x2 + margin, self.y2 + margin)
+        return (self.x1 - width_margin, self.y1 - height_margin,
+                self.x2 + width_margin, self.y2 + height_margin)
 
     @property
     def lines(self) -> list[Line]:

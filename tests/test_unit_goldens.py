@@ -165,3 +165,84 @@ def test_implicit_goldens():
                               implicit_rows=True, implicit_columns=True)
     assert result.nb_rows == table.nb_rows + 20
     assert result.nb_columns == table.nb_columns + 8
+
+
+def test_object_goldens():
+    # ref tests/tables/objects/test_line.py, test_row.py, test_table.py
+    from img2table_ray.core.objects import Cell, Line, Row, Table
+
+    line = Line(x1=0, y1=20, x2=46, y2=73)
+    assert round(line.angle) == 49
+    assert (line.width, line.height, round(line.length)) == (46, 53, 70)
+    assert not line.vertical and not line.horizontal
+
+    rep = Line(x1=20, y1=73, x2=19, y2=20, thickness=18).reprocess()
+    assert rep == Line(x1=20, x2=20, y1=20, y2=73, thickness=18)
+    assert rep.vertical
+
+    row = Row(cells=[Cell(x1=0, x2=20, y1=0, y2=20), Cell(x1=20, x2=40, y1=0, y2=20)])
+    assert (row.x1, row.y1, row.x2, row.y2, row.nb_columns) == (0, 0, 40, 20, 2)
+    assert row.v_consistent
+    row.add_cells(cells=Cell(x1=40, x2=60, y1=0, y2=20))
+    assert (row.nb_columns, row.x2) == (3, 60)
+
+    row2 = Row(cells=[Cell(x1=0, x2=20, y1=0, y2=20), Cell(x1=20, x2=40, y1=0, y2=20)])
+    split = row2.split_in_rows(vertical_delimiters=[10, 15])
+    assert split == [
+        Row(cells=[Cell(x1=0, x2=20, y1=0, y2=10), Cell(x1=20, x2=40, y1=0, y2=10)]),
+        Row(cells=[Cell(x1=0, x2=20, y1=10, y2=15), Cell(x1=20, x2=40, y1=10, y2=15)]),
+        Row(cells=[Cell(x1=0, x2=20, y1=15, y2=20), Cell(x1=20, x2=40, y1=15, y2=20)])]
+
+    t = Table(rows=[Row(cells=[Cell(x1=0, x2=100, y1=0, y2=10)]),
+                    Row(cells=[Cell(x1=0, x2=100, y1=10, y2=20)]),
+                    Row(cells=[Cell(x1=0, x2=100, y1=20, y2=30)])])
+    t.remove_rows(row_ids=[1])
+    assert t == Table(rows=[Row(cells=[Cell(x1=0, x2=100, y1=0, y2=15)]),
+                            Row(cells=[Cell(x1=0, x2=100, y1=15, y2=30)])])
+
+    t2 = Table(rows=[Row(cells=[Cell(x1=0, x2=100, y1=0, y2=10),
+                                Cell(x1=100, x2=200, y1=0, y2=10),
+                                Cell(x1=200, x2=300, y1=0, y2=10)]),
+                     Row(cells=[Cell(x1=0, x2=100, y1=10, y2=20),
+                                Cell(x1=100, x2=200, y1=10, y2=20),
+                                Cell(x1=200, x2=300, y1=10, y2=20)])])
+    t2.remove_columns(col_ids=[1])
+    assert t2 == Table(rows=[Row(cells=[Cell(x1=0, x2=150, y1=0, y2=10),
+                                        Cell(x1=150, x2=300, y1=0, y2=10)]),
+                             Row(cells=[Cell(x1=0, x2=150, y1=10, y2=20),
+                                        Cell(x1=150, x2=300, y1=10, y2=20)])])
+
+
+def test_table_content_golden():
+    # ref tests/tables/objects/test_table.py::test_table + test_get_table_content
+    from img2table_ray.core.objects import Cell, Row, Table
+    from img2table_ray.extract.content import load_words_csv
+
+    base = "/root/reference/tests/tables/objects/test_data"
+    tables = [Table(rows=[Row(cells=[Cell(**el) for el in row]) for row in tb])
+              for tb in json.load(open(f"{base}/tables.json"))]
+    assert (tables[0].nb_columns, tables[0].nb_rows) == (3, 6)
+    assert tables[0].bbox() == (35, 20, 770, 326)
+    assert (tables[1].nb_columns, tables[1].nb_rows) == (2, 2)
+    assert tables[1].bbox() == (961, 21, 1154, 123)
+
+    words = load_words_csv(f"{base}/ocr.csv")
+    result = [tb.get_content(ocr_words=words, min_confidence=50) for tb in tables]
+    expected = [Table(rows=[Row(cells=[Cell(**el) for el in row]) for row in tb])
+                for tb in json.load(open(f"{base}/expected_tables.json"))]
+    assert result == expected
+
+
+def test_table_image_golden():
+    # ref tests/tables/image/test_image.py (TableImage level)
+    from img2table_ray.extract.document import TableImage
+    from img2table_ray.imgops.png import decode_image
+
+    img = decode_image(open(
+        "/root/reference/tests/tables/image/test_data/test.png", "rb").read())
+    result = TableImage(img=img, min_confidence=50).extract_tables(implicit_rows=True)
+    result = sorted(result, key=lambda tb: tb.x1 + tb.x2)
+    assert (result[0].x1, result[0].y1, result[0].x2, result[0].y2) == (36, 21, 770, 327)
+    assert (result[0].nb_rows, result[0].nb_columns) == (6, 3)
+    assert (result[1].x1, result[1].y1, result[1].x2, result[1].y2) == (962, 21, 1154, 123)
+    assert (result[1].nb_rows, result[1].nb_columns) == (2, 2)
