@@ -125,10 +125,12 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     """
     from img2table_ray.stages.util import actor_concurrency
 
+    # small batches -> enough tasks to fill the pool (signature hashing is
+    # the CPU-heavy stage; 1024-row batches left most actors idle)
     exploded = _docs(sf_dir).map_batches(
         _MinHashStage,
         batch_format="pandas",
-        batch_size=1024,
+        batch_size=256,
         concurrency=actor_concurrency(),
     )
     pairs = exploded.repartition(8).groupby(["band", "band_hash"]).map_groups(

@@ -246,3 +246,55 @@ def test_table_image_golden():
     assert (result[0].nb_rows, result[0].nb_columns) == (6, 3)
     assert (result[1].x1, result[1].y1, result[1].x2, result[1].y2) == (962, 21, 1154, 123)
     assert (result[1].nb_rows, result[1].nb_columns) == (2, 2)
+
+
+def _ssim_gray(a, b):
+    """Windowed SSIM (11x11 gaussian, K1=0.01, K2=0.03, L=255) — standard
+    public formula, mean over the map; enough fidelity for the reference's
+    >= 0.85 round-trip threshold."""
+    import numpy as np
+
+    from img2table_ray.imgops.kernels import _convolve_axis, gaussian_kernel_1d
+
+    def win_mean(x):
+        k = gaussian_kernel_1d(11, 1.5)
+        return _convolve_axis(_convolve_axis(x, k, axis=1), k, axis=0)
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mu_a, mu_b = win_mean(a), win_mean(b)
+    var_a = win_mean(a * a) - mu_a ** 2
+    var_b = win_mean(b * b) - mu_b ** 2
+    cov = win_mean(a * b) - mu_a * mu_b
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    return float(s.mean())
+
+
+def test_fix_rotation_roundtrip():
+    # ref tests/document/base/test_rotation.py::test_fix_rotation_image
+    # (subset of angles to bound runtime; same crop + mean-SSIM criterion)
+    import numpy as np
+
+    from img2table_ray.extract.rotation import fix_rotation_image, rotate_img_with_border
+    from img2table_ray.imgops.kernels import rgb2gray
+    from img2table_ray.imgops.png import decode_image
+
+    img = decode_image(open(
+        "/root/reference/tests/document/base/test_data/test.png", "rb").read())
+
+    def crop_to_orig(rotated):
+        oh, ow = img.shape[:2]
+        cy, cx = rotated.shape[0] // 2, rotated.shape[1] // 2
+        return rotated[cy - oh // 2 : cy + oh // 2 + 1, cx - ow // 2 : cx + ow // 2 + 1]
+
+    sims = []
+    for angle in (-12, 9, 24):
+        test_img = rotate_img_with_border(img=img.copy(), angle=angle)
+        fixed, _ = fix_rotation_image(img=test_img)
+        cropped = crop_to_orig(fixed)
+        h = min(cropped.shape[0], img.shape[0])
+        w = min(cropped.shape[1], img.shape[1])
+        sims.append(_ssim_gray(rgb2gray(img[:h, :w]), rgb2gray(cropped[:h, :w])))
+    assert float(np.mean(sims)) >= 0.85, sims
