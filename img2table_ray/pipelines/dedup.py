@@ -39,9 +39,9 @@ MAX_BUCKET = 64  # cap pairs per LSH bucket (hot-key guard; deterministic order)
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from img2table_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -325,6 +325,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.42) -> ray.data.Datase
             }
         )
 
-    return ray.data.read_parquet(
+    from img2table_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(fn, batch_format="pandas", batch_size=2048)

@@ -40,7 +40,9 @@ _UPPER_RE = r"[A-Z]"
 
 
 def _read_documents(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from img2table_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:

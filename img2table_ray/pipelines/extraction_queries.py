@@ -142,19 +142,17 @@ def _borderless_corpus(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from img2table_ray.imgops.png import decode_image, encode_png
+    from img2table_ray.fixtures import fixture_bytes
     from img2table_ray.pipelines.corpus import CORPUS_ROOT
     from img2table_ray.sources.pages import _EPOCH, _SYNTH_SHAPES, synth_table_image
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CORPUS_ROOT, f"borderless-{sf_name}")
-    marker = os.path.join(out, ".complete-v1")
+    marker = os.path.join(out, ".complete-v2")
     if os.path.exists(marker):
         return out
     os.makedirs(f"{out}/pages", exist_ok=True)
-    fixture = encode_png(decode_image(open(
-        "/root/reference/tests/tables/processing/borderless_tables/"
-        "borderless_tables/test_data/test.png", "rb").read()))
+    fixture = fixture_bytes("borderless.png")
     urls, html = [], []
     for i in range(8):
         if i % 2 == 0:

@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+from img2table_ray.sources.readers import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -43,9 +45,9 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             p_sum_disc=("disc_price", "sum"),
             p_count=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount"],
@@ -91,9 +93,9 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             p_n=("value", "size"), p_sum=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = ds.repartition(1).groupby(["event_type", "hour"]).aggregate(
@@ -142,7 +144,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
             p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size")
         )
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(partial, batch_format="pandas", batch_size=65536)
     agg = ds.repartition(1).groupby("n_name").aggregate(
@@ -181,7 +183,7 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
         return out
 
     return (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        read_parquet_clean(f"{sf_dir}/events.parquet",
                               columns=["user_id", "ts", "value"])
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")

@@ -23,6 +23,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from img2table_ray.sources.readers import read_parquet_clean
+
 N_QUERIES = 8  # queries = vec_id < N_QUERIES (deterministic subset)
 TOP_K = 10
 
@@ -67,7 +69,7 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
                             ascending=[True, False, True])
         return df.groupby("query_id", as_index=False).head(TOP_K)
 
-    scored = ray.data.read_parquet(
+    scored = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(score, batch_format="pandas", batch_size=4096)
 
@@ -152,7 +154,7 @@ def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
                             ascending=[True, False, True])
         return df.groupby("query_id", as_index=False).head(TOP_K)
 
-    scored = ray.data.read_parquet(
+    scored = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(score, batch_format="pandas", batch_size=4096)
 

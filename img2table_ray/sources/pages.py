@@ -23,14 +23,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from img2table_ray.extract.pdf import encode_mpng
+from img2table_ray.fixtures import fixture_path
 from img2table_ray.imgops.png import encode_png
 
 REF_FIXTURES = {
-    "test": "/root/reference/tests/document/image/test_data/test.png",
-    "dark": "/root/reference/tests/document/image/test_data/dark.png",
-    "blank": "/root/reference/tests/document/image/test_data/blank.png",
+    "test": fixture_path("test.png"),
+    "dark": fixture_path("dark.png"),
+    "blank": fixture_path("blank.png"),
 }
-MOCK_HOCR = "/root/reference/tests/_mock_data/tesseract_hocr.html"
+MOCK_HOCR = fixture_path("tesseract_hocr.html")
 
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
 
