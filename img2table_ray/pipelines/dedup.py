@@ -15,8 +15,12 @@ Scale notes (100 TB design, tested single-node):
   per batch; the only shuffle is the (band, band_hash) groupby whose groups
   are tiny (near-dup buckets).  Hot buckets (identical boilerplate) are
   capped per group with a documented limit rather than exploding O(n²).
-* ``embedding_dup_pairs`` / brute-force ANN: the comparison side is
-  broadcast via ``ray.put`` once, never re-shipped per batch.
+* ``embedding_dup_pairs``: IVF-bucketed candidate generation (multi-probe
+  assignment -> within-bucket pairs -> pair-key dedup) — per-task memory is
+  O(bucket), never O(corpus).
+* ``ngram_jaccard_pairs``: candidates verified via distributed hash joins
+  against a shingle Dataset keyed by doc_id — nothing corpus-sized ever
+  lands on the driver.
 """
 
 from __future__ import annotations
@@ -70,41 +74,34 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return partial.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
-class _MinHashStage:
-    """Actor-pool stage: shingle + minhash + LSH band hashes per batch.
-
-    Emits exploded (doc_id, band, band_hash) rows.  Unique shingles are
-    hashed once per batch (see hashing.minhash_signatures).
-    """
-
-    def __init__(self) -> None:
-        # warm state: nothing heavy today, but regexes are compiled on import
-        # and this is where a tokenizer model would be loaded once per actor.
-        pass
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = [hashing.normalize_text(t) for t in batch["text"]]
-        shingle_lists = [
-            hashing.shingles_of(hashing.tokens_of(t), SHINGLE_K) for t in texts
-        ]
-        sigs = hashing.minhash_signatures(shingle_lists, NUM_HASHES)
-        doc_ids: list[int] = []
-        bands: list[int] = []
-        bhashes: list[str] = []
-        for doc_id, sig in zip(batch["doc_id"], sigs):
-            if not sig:
-                continue  # < SHINGLE_K tokens: no shingles, excluded
-            bh = hashing.band_hashes(sig, BAND_SIZE)
-            doc_ids.extend([doc_id] * len(bh))
-            bands.extend(range(len(bh)))
-            bhashes.extend(bh)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "band": pd.Series(bands, dtype="int64"),
-                "band_hash": pd.Series(bhashes, dtype="object"),
-            }
-        )
+def _minhash_explode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Shingle + minhash + LSH band hashes per batch: emits exploded
+    (doc_id, band, band_hash) rows.  Unique shingles are hashed once per
+    batch (see hashing.minhash_signatures).  Stateless task — regexes are
+    compiled at module import in the long-lived worker process, so an actor
+    pool would only add startup cost."""
+    texts = [hashing.normalize_text(t) for t in batch["text"]]
+    shingle_lists = [
+        hashing.shingles_of(hashing.tokens_of(t), SHINGLE_K) for t in texts
+    ]
+    sigs = hashing.minhash_signatures(shingle_lists, NUM_HASHES)
+    doc_ids: list[int] = []
+    bands: list[int] = []
+    bhashes: list[str] = []
+    for doc_id, sig in zip(batch["doc_id"], sigs):
+        if not sig:
+            continue  # < SHINGLE_K tokens: no shingles, excluded
+        bh = hashing.band_hashes(sig, BAND_SIZE)
+        doc_ids.extend([doc_id] * len(bh))
+        bands.extend(range(len(bh)))
+        bhashes.extend(bh)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "band": pd.Series(bands, dtype="int64"),
+            "band_hash": pd.Series(bhashes, dtype="object"),
+        }
+    )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -125,15 +122,15 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     """
     from img2table_ray.stages.util import actor_concurrency
 
-    # small batches -> enough tasks to fill the pool (signature hashing is
-    # the CPU-heavy stage; 1024-row batches left most actors idle)
-    exploded = _docs(sf_dir).map_batches(
-        _MinHashStage,
-        batch_format="pandas",
-        batch_size=256,
-        concurrency=actor_concurrency(),
+    # signature hashing is the CPU-heavy stage: split the read into enough
+    # blocks that stateless map TASKS fill the CPUs (no actor pool — md5
+    # hashing needs no warm state and pool startup dominated the old timing)
+    exploded = (
+        _docs(sf_dir)
+        .repartition(actor_concurrency())
+        .map_batches(_minhash_explode, batch_format="pandas", batch_size=1024)
     )
-    pairs = exploded.repartition(8).groupby(["band", "band_hash"]).map_groups(
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     # distinct pairs: native aggregate (no per-group Python), drop the count
@@ -152,57 +149,61 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
 
     Columns: doc_id_a, doc_id_b, n_inter, n_union (exact integers).
 
-    The verify side fetches the two shingle sets per pair.  Candidate sets
-    are tiny relative to the corpus, so the shingle lookup for *candidate
-    docs only* is broadcast via ``ray.put`` (at 100 TB this becomes a
-    bucketed join keyed by doc_id; the broadcast is the documented
-    small-side fast path).
+    Fully distributed verify (no driver-side candidate or shingle
+    materialization): a shingle-set Dataset (doc_id, shingles) is computed
+    per batch and hash-JOINED against the candidate-pair Dataset twice —
+    once per pair side — then each joined row's two shingle lists are
+    compared exactly.  Both joins are bucketed by doc_id; the pair side is
+    tiny, the shingle side streams through the shuffle once per join.
     """
+    from img2table_ray.stages.util import actor_concurrency
+
     cand = minhash_lsh_pairs(sf_dir)
-    cand_tbl = pa.concat_tables(
-        [b for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow")]
-        or [pa.table({"doc_id_a": pa.array([], pa.int64()),
-                      "doc_id_b": pa.array([], pa.int64())})]
-    )
-    needed = set(cand_tbl["doc_id_a"].to_pylist()) | set(
-        cand_tbl["doc_id_b"].to_pylist()
-    )
 
-    # build shingle sets for candidate docs only (small side), broadcast once
-    def collect_shingles(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = batch[batch["doc_id"].isin(needed)]
-        out = {
-            "doc_id": rows["doc_id"].astype("int64"),
-            "shingles": [
-                list(
-                    set(
-                        hashing.shingles_of(
-                            hashing.tokens_of(hashing.normalize_text(t)), SHINGLE_K
+    def shingle_ds(id_col: str, sh_col: str) -> ray.data.Dataset:
+        # shingle sets ride through the join as a single \x1f-delimited
+        # string column (Arrow's hash join rejects list-typed payloads)
+        def to_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    id_col: batch["doc_id"].astype("int64"),
+                    sh_col: [
+                        "\x1f".join(
+                            set(
+                                hashing.shingles_of(
+                                    hashing.tokens_of(hashing.normalize_text(t)),
+                                    SHINGLE_K,
+                                )
+                            )
                         )
-                    )
-                )
-                for t in rows["text"]
-            ],
-        }
-        return pd.DataFrame(out)
+                        for t in batch["text"]
+                    ],
+                }
+            )
 
-    shingle_ds = _docs(sf_dir).map_batches(
-        collect_shingles, batch_format="pandas", batch_size=4096
+        return _docs(sf_dir).map_batches(
+            to_shingles, batch_format="pandas", batch_size=4096
+        )
+
+    n_join = max(2, actor_concurrency() // 4)
+    joined = cand.join(
+        shingle_ds("doc_id_a", "sh_a"),
+        join_type="inner", num_partitions=n_join, on=("doc_id_a",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).join(
+        shingle_ds("doc_id_b", "sh_b"),
+        join_type="inner", num_partitions=n_join, on=("doc_id_b",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
-    lookup: dict[int, frozenset] = {}
-    for b in shingle_ds.iter_batches(batch_size=65536, batch_format="pandas"):
-        for doc_id, sh in zip(b["doc_id"], b["shingles"]):
-            lookup[int(doc_id)] = frozenset(sh)
-    lookup_ref = ray.put(lookup)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
         inter = np.empty(len(batch), dtype=np.int64)
         union = np.empty(len(batch), dtype=np.int64)
-        for i, (a, b_) in enumerate(zip(batch["doc_id_a"], batch["doc_id_b"])):
-            sa, sb = lk.get(int(a), frozenset()), lk.get(int(b_), frozenset())
-            inter[i] = len(sa & sb)
-            union[i] = len(sa | sb)
+        for i, (sa, sb) in enumerate(zip(batch["sh_a"], batch["sh_b"])):
+            a = set(sa.split("\x1f")) if sa else set()
+            b_ = set(sb.split("\x1f")) if sb else set()
+            inter[i] = len(a & b_)
+            union[i] = len(a | b_)
         out = pd.DataFrame(
             {
                 "doc_id_a": batch["doc_id_a"].astype("int64"),
@@ -213,9 +214,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
         )
         return out[out["n_inter"] * JACCARD_DEN >= out["n_union"] * JACCARD_NUM]
 
-    return ray.data.from_arrow(cand_tbl).map_batches(
-        verify, batch_format="pandas", batch_size=8192
-    )
+    return joined.map_batches(verify, batch_format="pandas", batch_size=8192)
 
 
 def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
@@ -286,47 +285,70 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     )
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.42) -> ray.data.Dataset:
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.42,
+                        nlist: int = 16, nassign: int = 6) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b, sim >= threshold).
 
     The default threshold (0.42) is tuned to the synthetic corpus, whose
     vectors are near-orthogonal (max pairwise cosine ~0.51) — a production
     near-dup run would use ~0.95+.
 
-    The full embedding matrix is broadcast once via ``ray.put`` (it is the
-    small side: n x 64 floats); each batch does one float64 matmul against
-    it.  Columns: vec_id_a, vec_id_b, sim (round 4).  Ranking/thresholding
-    uses round-6 values so the DuckDB double oracle agrees exactly.
+    Scale design (no full-matrix broadcast): IVF centroids are trained on a
+    bounded distributed sample; each batch assigns every vector to its
+    ``nassign`` nearest centroid buckets (multi-probe — a qualifying pair
+    only needs ONE shared bucket); within-bucket all-pairs cosine runs in
+    ``groupby(bucket).map_groups``; cross-bucket duplicates collapse in a
+    final pair-key groupby.  Per-task memory is O(bucket), not O(corpus).
+    Multi-probe recall is validated against the exact DuckDB oracle by the
+    driver's correctness gate.  Columns: vec_id_a, vec_id_b, sim (round 6).
     """
-    import pyarrow.parquet as pq
+    from img2table_ray.pipelines.similarity import train_centroids
+    from img2table_ray.sources.readers import read_parquet_clean
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids, mat, norms))
+    cent = train_centroids(sf_dir, nlist)
+    cent_ref = ray.put(cent)
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat, all_norms = ray.get(ref)
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        centroids = ray.get(cent_ref)
         bm = np.array(batch["embedding"].tolist(), dtype=np.float64)
         bn = np.linalg.norm(bm, axis=1)
         bn[bn == 0] = 1.0
-        sims = (bm @ all_mat.T) / bn[:, None] / all_norms[None, :]
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        ra, ca = np.where(np.round(sims, 6) >= threshold)
-        keep = bids[ra] < all_ids[ca]
-        ra, ca = ra[keep], ca[keep]
+        buckets = np.argsort(-((bm / bn[:, None]) @ centroids.T), axis=1)[:, :nassign]
         return pd.DataFrame(
             {
-                "vec_id_a": bids[ra],
-                "vec_id_b": all_ids[ca],
-                "sim": np.round(sims[ra, ca], 6),
+                "bucket": buckets.ravel().astype(np.int64),
+                "vec_id": np.repeat(batch["vec_id"].to_numpy().astype(np.int64),
+                                    nassign),
+                "embedding": [e for e in batch["embedding"] for _ in range(nassign)],
             }
         )
 
-    from img2table_ray.sources.readers import read_parquet_clean
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                                 "vec_id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        m = np.array(g["embedding"].tolist(), dtype=np.float64)
+        n_ = np.linalg.norm(m, axis=1)
+        n_[n_ == 0] = 1.0
+        # same op order as the exact oracle path: raw dots, then /norm_a /norm_b
+        sims = (m @ m.T) / n_[:, None] / n_[None, :]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s6 = np.round(sims[ia, ib], 6)
+        keep = s6 >= threshold
+        return pd.DataFrame({"vec_id_a": ids[ia][keep], "vec_id_b": ids[ib][keep],
+                             "sim": s6[keep]})
 
-    return read_parquet_clean(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(fn, batch_format="pandas", batch_size=2048)
+    pairs = (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pandas", batch_size=2048)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Min("sim", alias_name="sim"))
+    )

@@ -1,12 +1,24 @@
 """The flagship Ray-Data extraction pipeline (north_rule): streaming
 extraction over a Common-Crawl-style pages table.
 
-    read_parquet(pages, columns=[url, html])        # prune at the read
-      -> map_batches(probe)                         # size + container sniff
-      -> split heavy / light by doc_bytes           # skew mitigation
-      -> map_batches(PageExtractor, actor pools)    # fused per-doc algorithm
-      -> write_parquet(out/data, partition_cols)    # resumable layout
-      -> manifests per partition                    # checkpoint + lineage
+    read_parquet(selected shards, columns=[url, html],
+                 filter=lang pushdown)                  # prune at the read
+      -> tag part (= input-shard index)                 # lineage key
+      -> map_batches(probe)                             # size + container sniff
+      -> map_batches(explode_pages)                     # 1 doc -> N page rows
+      -> map_batches(segregate_by_weight)               # size-aware repartition
+      -> map_batches(PageExtractor, actor pool)         # fused per-doc algorithm
+      -> write_parquet(out/data, partition_cols=[part]) # resumable layout
+      -> manifests per partition (counts from the       # checkpoint + lineage
+         distributed StatsCollector, no output re-read)
+
+Partitions ARE input shards (sorted parquet files): resume and checkpoint
+waves select shards at the read, so a wave never rescans the rest of the
+corpus (at 100 TB each wave reads only its own shards; the granularity is
+the Common-Crawl WARC-shard layout).  Skew mitigation is explicit: page
+explode bounds per-row work at one page, and ``segregate_by_weight`` emits
+heavy rows (big pages) as their own small sub-batches so one giant page
+cannot head-of-line-block a batch of light rows.
 
 Words sidecar (stand-in for the external OCR service) is broadcast via
 ``ray.put`` when small; at 100 TB it becomes ``pages.join(words,
@@ -16,13 +28,13 @@ selectable with ``join_words=True``.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -30,26 +42,42 @@ from img2table_ray.stages.extractor import (
     OUTPUT_SCHEMA,
     PageExtractor,
     explode_pages,
-    partition_of,
     probe_batch,
 )
 from img2table_ray.stages.util import actor_concurrency
 from img2table_ray.state import manifest as mf
 
-HEAVY_BYTES = 512 * 1024  # documents above this route to the heavy pool
+HEAVY_BYTES = 512 * 1024  # page rows above this are yielded as tiny sub-batches
+HEAVY_CHUNK = 2
 
 
-def _add_part(batch: pa.Table, num_parts: int) -> pa.Table:
-    parts = pa.array(
-        [partition_of(u, num_parts) for u in batch["url"].to_pylist()], pa.int32()
-    )
-    return batch.append_column("part", parts)
+def input_shards(pages_dir: str) -> list[str]:
+    """Sorted parquet shards of the pages table; index = partition id."""
+    return sorted(glob.glob(os.path.join(pages_dir, "pages", "*.parquet")))
+
+
+def segregate_by_weight(batch: pa.Table):
+    """Size-aware streaming repartition: light rows stay batched together;
+    heavy rows are re-emitted as ``HEAVY_CHUNK``-row sub-batches so the
+    downstream actor pool never mixes a giant page into a long light batch."""
+    mask = pc.greater(batch["doc_bytes"], HEAVY_BYTES)
+    if not pc.any(mask).as_py():
+        yield batch
+        return
+    light = batch.filter(pc.invert(mask))
+    if light.num_rows:
+        yield light
+    heavy = batch.filter(mask)
+    for s in range(0, heavy.num_rows, HEAVY_CHUNK):
+        yield heavy.slice(s, HEAVY_CHUNK)
 
 
 def load_words_lookup(words_dir: str) -> dict:
     """Driver-side load of the words sidecar -> {(url, page): hocr}.  Small
     side of the broadcast join; at 100 TB this becomes a hash join on
     (url, page)."""
+    import pyarrow.parquet as pq
+
     if not os.path.isdir(words_dir):
         return {}
     tbl = pq.read_table(words_dir)
@@ -60,48 +88,50 @@ def load_words_lookup(words_dir: str) -> dict:
     return {(u, 0): h for u, h in zip(tbl["url"].to_pylist(), tbl["hocr"].to_pylist())}
 
 
-def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int = 64,
+def extract_pages(pages_dir: str, words_dir: str | None = None,
                   skip_parts: set[int] | None = None,
                   keep_parts: set[int] | None = None, implicit_rows: bool = True,
                   borderless: bool = False, lang_filter: str | None = None,
-                  join_words: bool = False) -> ray.data.Dataset:
+                  join_words: bool = False, stats_handle=None) -> ray.data.Dataset:
     """Build the lazy extraction Dataset (no sink).
 
-    ``join_words=False`` broadcasts the words sidecar via ``ray.put`` (the
-    small-side fast path).  ``join_words=True`` uses a hash-partitioned
-    ``Dataset.join`` on (url, page) — the 100 TB path where the OCR-words
-    table is as large as the pages table and cannot be broadcast."""
-    columns = ["url", "html"] if lang_filter is None else ["url", "html", "lang"]
-    ds = ray.data.read_parquet(f"{pages_dir}/pages", columns=columns)
-    if lang_filter is not None:
-        ds = ds.map_batches(
-            lambda t, lf=lang_filter: t.filter(pc.equal(t["lang"], lf)).drop_columns(["lang"]),
-            batch_format="pyarrow",
-        )
-
-    ds = ds.map_batches(lambda t: _add_part(t, num_parts), batch_format="pyarrow")
+    ``keep_parts`` / ``skip_parts`` select input shards at the READ — the
+    excluded shards are never opened.  ``join_words=False`` broadcasts the
+    words sidecar via ``ray.put`` (the small-side fast path);
+    ``join_words=True`` uses a hash-partitioned ``Dataset.join`` on
+    (url, page) — the 100 TB path where the OCR-words table is as large as
+    the pages table and cannot be broadcast."""
+    shards = input_shards(pages_dir)
+    parts = set(range(len(shards)))
     if skip_parts:
-        skip = pa.array(sorted(skip_parts), pa.int32())
-        ds = ds.map_batches(
-            lambda t, s=skip: t.filter(pc.invert(pc.is_in(t["part"], value_set=s))),
-            batch_format="pyarrow",
-        )
+        parts -= set(skip_parts)
     if keep_parts is not None:
-        keep = pa.array(sorted(keep_parts), pa.int32())
-        ds = ds.map_batches(
-            lambda t, s=keep: t.filter(pc.is_in(t["part"], value_set=s)),
-            batch_format="pyarrow",
-        )
+        parts &= set(keep_parts)
+    selected = [shards[p] for p in sorted(parts)]
+    if not selected:
+        return ray.data.from_arrow(OUTPUT_SCHEMA.empty_table())
+    part_of_path = {os.path.abspath(shards[p]): p for p in sorted(parts)}
 
+    read_filter = (pc.field("lang") == lang_filter) if lang_filter else None
+    ds = ray.data.read_parquet(selected, columns=["url", "html"],
+                               filter=read_filter, include_paths=True)
+
+    def tag_part(batch: pa.Table, lut=part_of_path) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        part = pa.array([lut[os.path.abspath(p)] for p in paths], pa.int32())
+        return batch.drop_columns(["path"]).append_column("part", part)
+
+    ds = ds.map_batches(tag_part, batch_format="pyarrow")
     ds = ds.map_batches(probe_batch, batch_format="pyarrow")
     # 1 multi-page doc -> N page rows BEFORE the heavy per-page work
     ds = ds.map_batches(explode_pages, batch_format="pyarrow")
+    ds = ds.map_batches(segregate_by_weight, batch_format="pyarrow")
 
     words_ref = None
     if words_dir is not None and join_words:
         words_ds = ray.data.read_parquet(words_dir)
         # modest partition count + fractional-CPU aggregators so the join
-        # coexists with the fixed extraction pools on small sessions
+        # coexists with the fixed extraction pool on small sessions
         n_join_parts = max(2, actor_concurrency() // 2)
         ds = ds.join(words_ds, join_type="left_outer",
                      num_partitions=n_join_parts, on=("url", "page"),
@@ -117,50 +147,42 @@ def extract_pages(pages_dir: str, words_dir: str | None = None, num_parts: int =
 
     cache_handle = ExtractionCache.remote()
 
-    def extractor_stage(sub: ray.data.Dataset, batch_size: int,
-                        pool: int) -> ray.data.Dataset:
-        return sub.map_batches(
-            PageExtractor,
-            fn_constructor_kwargs={
-                "words_ref": words_ref,
-                "num_parts": num_parts,
-                "implicit_rows": implicit_rows,
-                "borderless": borderless,
-                "cache_handle": cache_handle,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=pool,
-            num_cpus=1,
-        )
-
-    # Skew mitigation: heavy documents (big multi-table pages / future PDFs)
-    # get a dedicated SMALL pool with tiny batches so one giant row cannot
-    # stall a batch of light rows; light documents get the main pool.  The
-    # two fixed pools together must fit the cluster (fixed pools are created
-    # eagerly — oversubscribing deadlocks the union).
-    main_pool = actor_concurrency(reserve=2)
-    heavy_pool = max(1, min(2, main_pool // 4))
-    heavy = ds.map_batches(
-        lambda t: t.filter(pc.greater(t["doc_bytes"], HEAVY_BYTES)), batch_format="pyarrow"
-    )
-    light = ds.map_batches(
-        lambda t: t.filter(pc.less_equal(t["doc_bytes"], HEAVY_BYTES)), batch_format="pyarrow"
-    )
-    return extractor_stage(light, batch_size=16, pool=max(1, main_pool - heavy_pool)).union(
-        extractor_stage(heavy, batch_size=2, pool=heavy_pool)
+    return ds.map_batches(
+        PageExtractor,
+        fn_constructor_kwargs={
+            "words_ref": words_ref,
+            "implicit_rows": implicit_rows,
+            "borderless": borderless,
+            "cache_handle": cache_handle,
+            "stats_handle": stats_handle,
+        },
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=actor_concurrency(reserve=2),
+        num_cpus=1,
     )
 
 
 def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = None,
-                       num_parts: int = 16, implicit_rows: bool = True,
-                       borderless: bool = False, waves: int = 4) -> dict:
-    """Resumable job: partitions with complete manifests are skipped; the
-    remaining partitions run in ``waves`` checkpoint rounds, each wave
-    writing its data directories and then publishing manifests — so a kill
-    at ANY point loses at most one wave of work.  Partial data of
-    unfinished partitions is cleared before rewriting (idempotent)."""
+                       implicit_rows: bool = True, borderless: bool = False,
+                       waves: int = 4, num_parts: int | None = None) -> dict:
+    """Resumable job: partitions (= input shards) with complete manifests are
+    skipped; the remaining shards run in ``waves`` checkpoint rounds, each
+    wave writing its data directories and then publishing manifests — so a
+    kill at ANY point loses at most one wave of work.  Partial data of
+    unfinished partitions is cleared before rewriting (idempotent).
+
+    ``num_parts`` is accepted for compatibility and validated against the
+    actual shard count when given."""
+    from img2table_ray.state.stats import StatsCollector
+
     t0 = time.time()
+    shards = input_shards(pages_dir)
+    n_parts = len(shards)
+    if num_parts is not None and num_parts != n_parts:
+        raise ValueError(
+            f"num_parts={num_parts} but {pages_dir} has {n_parts} input shards"
+            " (partitions are input shards)")
     done = mf.completed_partitions(out_dir)
     ddir = mf.data_dir(out_dir)
 
@@ -172,30 +194,22 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
                 if part not in done:
                     shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
 
-    todo = sorted(set(range(num_parts)) - done)
+    todo = sorted(set(range(n_parts)) - done)
     wave_size = max(1, -(-len(todo) // max(1, waves)))
+    stats_actor = StatsCollector.remote()
     stats = {}
     for w in range(0, len(todo), wave_size):
         wave_parts = set(todo[w : w + wave_size])
-        ds = extract_pages(pages_dir, words_dir=words_dir, num_parts=num_parts,
+        ds = extract_pages(pages_dir, words_dir=words_dir,
                            keep_parts=wave_parts, implicit_rows=implicit_rows,
-                           borderless=borderless)
+                           borderless=borderless, stats_handle=stats_actor)
         ds.write_parquet(ddir, partition_cols=["part"])
 
-        # publish manifests for this wave (data is durable at this point)
+        # publish manifests for this wave (data is durable at this point);
+        # counts come from the distributed collector, not an output re-read
+        totals = ray.get(stats_actor.totals.remote())
         for part in sorted(wave_parts):
-            part_dir = os.path.join(ddir, f"part={part}")
-            if not os.path.isdir(part_dir):
-                # partition had no input rows; publish an empty manifest
-                mf.write_manifest(out_dir, part, n_docs=0, n_tables=0,
-                                  n_errors=0, wall_s=time.time() - t0)
-                stats[part] = {"n_docs": 0, "n_tables": 0, "n_errors": 0}
-                continue
-            tbl = pq.read_table(part_dir, columns=["url", "status"])
-            n_docs = len(set(tbl["url"].to_pylist()))
-            statuses = tbl["status"].to_pylist()
-            n_tables = sum(1 for s in statuses if s == "ok")
-            n_errors = sum(1 for s in statuses if s == "error")
+            n_docs, n_tables, n_errors = totals.get(part, [0, 0, 0])
             mf.write_manifest(out_dir, part, n_docs=n_docs, n_tables=n_tables,
                               n_errors=n_errors, wall_s=time.time() - t0)
             stats[part] = {"n_docs": n_docs, "n_tables": n_tables,

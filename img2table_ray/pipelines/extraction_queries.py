@@ -143,6 +143,7 @@ def _borderless_corpus(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     from img2table_ray.fixtures import fixture_bytes
+    from img2table_ray.imgops.png import encode_png
     from img2table_ray.pipelines.corpus import CORPUS_ROOT
     from img2table_ray.sources.pages import _EPOCH, _SYNTH_SHAPES, synth_table_image
 

@@ -27,15 +27,48 @@ from img2table_ray.sources.readers import read_parquet_clean
 
 N_QUERIES = 8  # queries = vec_id < N_QUERIES (deterministic subset)
 TOP_K = 10
+TRAIN_CAP = 4096  # max vectors pulled to the driver for IVF training
 
 
-def _load_matrix(sf_dir: str):
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
-    return ids, mat / norms[:, None]
+    return mat / norms[:, None]
+
+
+def _load_queries(sf_dir: str):
+    """Filtered read of ONLY the query vectors (predicate pushdown on
+    vec_id) — the driver never materializes the full embeddings table."""
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    ids = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ids)
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ids[order], _normalize(mat[order])
+
+
+def train_centroids(sf_dir: str, nlist: int, cap: int = TRAIN_CAP) -> np.ndarray:
+    """IVF centroids from a BOUNDED deterministic sample (<= ~cap vectors):
+    the sample predicate (vec_id % stride == 0) is evaluated distributed in
+    ``map_batches``; only the sampled rows reach the driver, so training
+    memory is O(cap), not O(corpus)."""
+    n_total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    stride = max(1, n_total // cap)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["vec_id"] % stride == 0]
+
+    sample = (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    mat = _normalize(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    return _kmeans_lite(mat, nlist)
 
 
 def ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -44,9 +77,7 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     Columns: query_id, vec_id, sim (round 4), rank (1-based).  Self-matches
     excluded.  Rank order: round-6 sim desc, vec_id asc.
     """
-    ids, mat = _load_matrix(sf_dir)
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], mat[qmask]
+    qids, qmat = _load_queries(sf_dir)
     ref = ray.put((qids, qmat))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -107,16 +138,14 @@ def _kmeans_lite(mat: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
 def ann_ivf_topk(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
     """IVF-style approximate top-k (the 100 TB scale path).
 
-    Centroids are trained on a driver-side sample (here: the full small
-    table; at scale a ``random_sample`` of ~1e5 rows), broadcast via
-    ``ray.put``; each batch assigns its vectors to centroid buckets and only
-    scores vectors whose bucket is among the query's ``nprobe`` probed
-    buckets.  Rows-only check (approximate by construction).
+    Centroids are trained on a bounded distributed sample (``train_centroids``
+    — O(TRAIN_CAP) driver memory), broadcast via ``ray.put``; each batch
+    assigns its vectors to centroid buckets and only scores vectors whose
+    bucket is among the query's ``nprobe`` probed buckets.  Rows-only check
+    (approximate by construction).
     """
-    ids, mat = _load_matrix(sf_dir)
-    cent = _kmeans_lite(mat, nlist)
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], mat[qmask]
+    cent = train_centroids(sf_dir, nlist)
+    qids, qmat = _load_queries(sf_dir)
     qprobe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     ref = ray.put((qids, qmat, cent, qprobe))
 

@@ -59,56 +59,56 @@ def probe_batch(batch: pa.Table) -> pa.Table:
 def explode_pages(batch: pa.Table) -> pa.Table:
     """1 multi-page document row -> N per-page rows (SURVEY.md §4: explode
     BEFORE the heavy per-page work so a many-page document cannot stall one
-    actor slot).  Page bytes are container slices — no decode here."""
+    actor slot).  Page bytes are container slices — no decode here.
+
+    Arrow-native: only the multi-page rows' ``html`` payloads are
+    materialized into Python; every other column is duplicated with
+    ``Table.take`` so big binary columns of single-page rows never round-trip
+    through Python lists."""
+    import pyarrow.compute as pc
+
     from img2table_ray.extract.pdf import split_mpng
 
-    if "mpng" not in set(batch["doc_kind"].to_pylist()):
+    mask = pc.equal(batch["doc_kind"], "mpng")
+    if not pc.any(mask).as_py():
         return batch.append_column(
             "page", pa.array([0] * len(batch), pa.int32()))
 
-    cols: dict[str, list] = {name: [] for name in batch.schema.names}
-    pages_col: list[int] = []
-    rows = batch.to_pylist()
-    for row in rows:
-        if row["doc_kind"] == "mpng":
-            try:
-                page_bytes = split_mpng(row["html"])
-            except ValueError:
-                page_bytes = [row["html"]]
-            for p, pb in enumerate(page_bytes):
-                for name in cols:
-                    if name == "html":
-                        cols[name].append(pb)
-                    elif name == "doc_bytes":
-                        cols[name].append(len(pb))
-                    elif name == "doc_kind":
-                        cols[name].append("png")
-                    else:
-                        cols[name].append(row[name])
-                pages_col.append(p)
-        else:
-            for name in cols:
-                cols[name].append(row[name])
-            pages_col.append(0)
-    arrays = []
-    for field in batch.schema:
-        arrays.append(pa.array(cols[field.name], field.type))
-    out = pa.Table.from_arrays(arrays, schema=batch.schema)
-    return out.append_column("page", pa.array(pages_col, pa.int32()))
+    plain = batch.filter(pc.invert(mask))
+    plain = plain.append_column("page", pa.array([0] * len(plain), pa.int32()))
 
-
-def partition_of(url: str, num_parts: int) -> int:
-    """Stable partition id for checkpoint/resume + output layout."""
-    return int(hashlib.md5(url.encode()).hexdigest()[:8], 16) % num_parts
+    sub = batch.filter(mask)
+    page_lists: list[list[bytes]] = []
+    for b in sub["html"].to_pylist():
+        try:
+            page_lists.append(split_mpng(b))
+        except ValueError:
+            page_lists.append([b])
+    counts = [len(p) for p in page_lists]
+    rep = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+    rows = sub.take(pa.array(rep))
+    flat = [pb for lst in page_lists for pb in lst]
+    names = rows.schema.names
+    rows = rows.set_column(names.index("html"), "html", pa.array(flat, pa.binary()))
+    rows = rows.set_column(
+        names.index("doc_bytes"), "doc_bytes",
+        pa.array([len(pb) for pb in flat],
+                 batch.schema.field("doc_bytes").type))
+    rows = rows.set_column(
+        names.index("doc_kind"), "doc_kind",
+        pa.array(["png"] * len(flat), pa.string()))
+    page_ids = np.concatenate([np.arange(c, dtype=np.int32) for c in counts])
+    rows = rows.append_column("page", pa.array(page_ids, pa.int32()))
+    return pa.concat_tables([plain, rows])
 
 
 class PageExtractor:
     """Actor-pool UDF: pyarrow batch of pages rows -> pyarrow batch of
     extracted-table rows (OUTPUT_SCHEMA)."""
 
-    def __init__(self, words_ref=None, num_parts: int = 64,
-                 implicit_rows: bool = True, borderless: bool = False,
-                 min_confidence: int = 50, cache_handle=None) -> None:
+    def __init__(self, words_ref=None, implicit_rows: bool = True,
+                 borderless: bool = False, min_confidence: int = 50,
+                 cache_handle=None, stats_handle=None) -> None:
         # Once-per-actor setup: broadcast word lookup + decode memo cache +
         # optional shared cross-actor memo cache (state/cache.py).
         #
@@ -128,7 +128,7 @@ class PageExtractor:
         self._decode_cache: dict = {}
         self._extract_cache: dict = {}
         self._cache = cache_handle
-        self._num_parts = num_parts
+        self._stats = stats_handle
         self._implicit_rows = implicit_rows
         self._borderless = borderless
         self._min_confidence = min_confidence
@@ -219,6 +219,8 @@ class PageExtractor:
         htmls = batch["html"].to_pylist()
         pages = (batch["page"].to_pylist() if "page" in batch.schema.names
                  else [0] * len(batch))
+        parts = (batch["part"].to_pylist() if "part" in batch.schema.names
+                 else [0] * len(batch))
         # words either arrive as a joined column (hash-join path) or via the
         # broadcast lookup (small-side path)
         if "hocr" in batch.schema.names:
@@ -260,8 +262,8 @@ class PageExtractor:
                             still.append(k)
                     wait_keys = still
 
-        for url, page, data, hocr in zip(urls, pages, htmls, hocr_list):
-            part = partition_of(url, self._num_parts)
+        for url, page, part, data, hocr in zip(urls, pages, parts, htmls,
+                                               hocr_list):
             try:
                 k = self._cache_key(data, hocr)
                 fresh = k not in self._extract_cache
@@ -287,5 +289,22 @@ class PageExtractor:
                 out["part"].append(part)
                 for col, v in r.items():
                     out[col].append(page if col == "page" else v)
+
+        # distributed manifest accounting: per-batch (part -> counts) partials
+        # go to the (tiny) stats collector — the driver never re-reads output
+        # parquet.  Synchronous send so no count can be lost between task
+        # completion and the driver's totals read; one small RPC per batch.
+        if self._stats is not None:
+            counts: dict[int, list[int]] = {}
+            for part, page, ti, st in zip(out["part"], out["page"],
+                                          out["table_idx"], out["status"]):
+                c = counts.setdefault(int(part), [0, 0, 0])
+                if page == 0 and ti <= 0:
+                    c[0] += 1  # one row per document has (page 0, table_idx<=0)
+                if st == "ok":
+                    c[1] += 1
+                elif st == "error":
+                    c[2] += 1
+            ray.get(self._stats.add.remote(counts))
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)

@@ -62,7 +62,7 @@ def test_kill_and_resume():
     from img2table_ray.state.manifest import completed_partitions
 
     shutil.rmtree(CORPUS, ignore_errors=True)
-    generate_pages(CORPUS, 96)
+    generate_pages(CORPUS, 96, rows_per_file=8)  # 12 shards = 12 partitions
 
     baseline_out = "/tmp/i2tr_kill_baseline"
     shutil.rmtree(baseline_out, ignore_errors=True)

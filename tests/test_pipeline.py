@@ -18,7 +18,7 @@ def corpus(ray_session):
     from img2table_ray.sources.pages import generate_pages
 
     shutil.rmtree(CORPUS, ignore_errors=True)
-    generate_pages(CORPUS, 48)
+    generate_pages(CORPUS, 48, rows_per_file=6)  # 8 input shards = 8 partitions
     return CORPUS
 
 
@@ -116,7 +116,8 @@ def test_error_rows_captured(ray_session):
             "lang": ["en", "en"],
         }
     )
-    pq.write_table(tbl, f"{bad_dir}/pages/part-00000.parquet")
+    pq.write_table(tbl.slice(0, 1), f"{bad_dir}/pages/part-00000.parquet")
+    pq.write_table(tbl.slice(1, 1), f"{bad_dir}/pages/part-00001.parquet")
 
     out = "/tmp/i2tr_bad_out"
     shutil.rmtree(out, ignore_errors=True)
