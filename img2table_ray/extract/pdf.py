@@ -56,6 +56,8 @@ def sniff_kind(data: bytes) -> str:
         return "pdf"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 

@@ -178,9 +178,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff container and decode PNG or BMP -> RGB array."""
+    """Sniff container and decode PNG, BMP or baseline JPEG -> RGB array."""
     if data[:8] == _SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from img2table_ray.imgops.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise PngError("unsupported image container")

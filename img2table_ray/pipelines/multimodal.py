@@ -2,7 +2,7 @@
 as opaque ``binary`` columns with typed metadata; decode / feature-extract
 / resize run as actor-pool ``map_batches`` stages.
 
-Image stages are REAL (the pure-numpy codec decodes PNG/BMP).  Audio/video
+Image stages are REAL (the pure-numpy codec decodes PNG/BMP/baseline-JPEG).  Audio/video
 decoding has no library in this container, so those stages are
 clearly-marked STUBS: the actor signature, batch schema and output layout
 are real and tested; ``decode`` raises ``NotImplementedError`` unless the

@@ -1,0 +1,115 @@
+"""JPEG codec tests: decoder structure/roundtrip + the reference's
+title-extraction golden, which runs the full blur/threshold/contour chain
+over a REAL baseline-JPEG fixture decoded by our pure-numpy decoder
+(reference: tests/tables/processing/text/test_titles.py — asserts the
+title text cv2-decoded pixels produce)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from img2table_ray.fixtures import fixture_bytes, fixture_path
+from img2table_ray.imgops.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+
+def test_decode_fixture_structure():
+    img = decode_jpeg(fixture_bytes("titles.jpg"))
+    assert img.shape == (698, 1069, 3)
+    assert img.dtype == np.uint8
+    # document scan: mostly white background
+    assert img.mean() > 200
+
+
+def test_roundtrip_color_and_gray():
+    img = np.full((40, 56, 3), 210, np.uint8)
+    img[8:20, 10:40] = [40, 60, 80]
+    dec = decode_jpeg(encode_jpeg(img, quality=92))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4
+
+    ramp = np.tile(np.arange(64, dtype=np.uint8) * 4, (24, 1))
+    decg = decode_jpeg(encode_jpeg(ramp, quality=95))
+    assert decg.shape == (24, 64, 3)
+    assert np.array_equal(decg[:, :, 0], decg[:, :, 1])
+    assert np.abs(decg[:, :, 0].astype(int) - ramp.astype(int)).max() <= 1
+
+
+def test_odd_dimensions_and_subsampling_crop():
+    img = np.full((33, 47, 3), 127, np.uint8)
+    img[:, ::3] = [250, 10, 90]
+    dec = decode_jpeg(encode_jpeg(img, quality=80))
+    assert dec.shape == (33, 47, 3)
+
+
+def test_progressive_rejected():
+    # minimal stream with SOF2: must raise a clear error, not wrong pixels
+    bad = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10"
+           b"\x01\x01\x11\x00" + b"\xff\xd9")
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(bad)
+
+
+def test_title_golden_from_jpeg():
+    """Reference golden: get_title_tables on the decoded JPEG fixture must
+    find the title '10 most populous countries'
+    (ref tests/tables/processing/text/test_titles.py:15-24)."""
+    from img2table_ray.core.objects import Cell, Row, Table
+    from img2table_ray.extract.content import load_words_csv
+    from img2table_ray.extract.titles import get_title_tables
+
+    img = decode_jpeg(fixture_bytes("titles.jpg"))
+    with open(fixture_path("titles_table.json")) as f:
+        table = Table(rows=[Row(cells=[Cell(**el) for el in row])
+                            for row in json.load(f)])
+    words = load_words_csv(fixture_path("titles_ocr.csv"))
+
+    result = get_title_tables(img=img, tables=[table], words=words)
+    assert result[0].title == "10 most populous countries"
+    assert get_title_tables(img=img, tables=[], words=words) == []
+
+
+def test_get_contours_cell_golden():
+    """Reference golden: exact contour coordinates on the contours fixture
+    (ref tests/tables/processing/common/test_common.py:40-56 — upstream
+    ships this file as 'test.jpg' but its bytes are PNG; decode_image sniffs
+    the container, like cv2.imdecode does)."""
+    from img2table_ray.core.objects import Cell
+    from img2table_ray.extract.titles import get_contours_cell
+    from img2table_ray.imgops.png import decode_image
+
+    img = decode_image(fixture_bytes("contours.png"))
+    cell = Cell(x1=0, x2=img.shape[1], y1=0, y2=img.shape[0])
+    result = get_contours_cell(img=img, cell=cell, margin=5, blur_size=5,
+                               kernel_size=9, merge_vertically=True)
+    expected = [Cell(x1=51, y1=19, x2=518, y2=146),
+                Cell(x1=60, y1=156, x2=534, y2=691),
+                Cell(x1=65, y1=765, x2=543, y2=811)]
+    assert result == expected
+
+
+def test_jpeg_flows_through_extraction(ray_session):
+    """A JPEG page row must extract with status != error through the Ray
+    pipeline (capability the reference gets from cv2.imdecode)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from img2table_ray.pipelines.extraction import extract_pages
+    from img2table_ray.sources.pages import synth_table_image
+
+    g, _ = synth_table_image(3, 3, 7)
+    jpg = encode_jpeg(g, quality=95)
+    d = "/tmp/i2tr_jpeg_corpus"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(f"{d}/pages")
+    pq.write_table(pa.table({
+        "url": ["https://example.org/jpegdoc/0"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([jpg], pa.binary()),
+        "text": [""], "lang": ["en"]}), f"{d}/pages/p.parquet")
+    df = extract_pages(d).to_pandas()
+    assert (df["status"] == "ok").all()
+    assert (df["nb_rows"] == 3).all() and (df["nb_columns"] == 3).all()
