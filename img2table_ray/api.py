@@ -46,6 +46,80 @@ class HocrOCR(OCRInstance):
         return OCRWords.from_records(records)
 
 
+class TesseractOCR(OCRInstance):
+    """Subprocess-driving Tesseract adapter (ref ocr/tesseract.py:21-141):
+    writes each page image to a temp PNG, shells out ``tesseract ... hocr``
+    (optionally across ``n_threads``), and parses the returned hOCR into
+    OCRWords.  Raises OSError at construction when the binary or requested
+    traineddata is absent — same contract as the reference, so environments
+    without tesseract fail fast instead of mid-pipeline."""
+
+    def __init__(self, n_threads: int = 1, lang: str = "eng", psm: int = 11,
+                 tessdata_dir: Optional[str] = None) -> None:
+        import os
+        import re
+        import subprocess
+
+        if not isinstance(n_threads, int):
+            raise TypeError(f"Invalid type {type(n_threads)} for n_threads argument")
+        if not isinstance(lang, str):
+            raise TypeError(f"Invalid type {type(lang)} for lang argument")
+        if not isinstance(psm, int):
+            raise TypeError(f"Invalid type {type(psm)} for psm argument")
+        self.n_threads = n_threads
+        self.lang = lang
+        self.psm = psm
+        env = os.environ.copy()
+        if tessdata_dir:
+            env["TESSDATA_PREFIX"] = tessdata_dir
+        self.env = env
+
+        cmd = subprocess.run("tesseract --version", env=self.env, shell=True,
+                             check=False, capture_output=True)
+        if cmd.returncode != 0:
+            raise OSError("Tesseract not found in environment. Check variables and PATH")
+        try:
+            langs = subprocess.check_output(
+                "tesseract --list-langs", env=self.env, shell=True).decode()
+            for lng in self.lang.split("+"):
+                if not any(re.search(rf"\b{lng}\b", line) for line in langs.splitlines()):
+                    raise OSError(f"Tesseract '{lng}' trainned data cannot be located")
+        except Exception as err:
+            if isinstance(err, OSError):
+                raise
+            raise OSError("Tesseract trainned data cannot be located.") from err
+
+    def hocr(self, image: np.ndarray) -> str:
+        """Run tesseract on one page image, return the hOCR HTML."""
+        import subprocess
+        from tempfile import NamedTemporaryFile
+
+        from img2table_ray.imgops.png import encode_png
+
+        with NamedTemporaryFile(suffix=".png", delete=False) as tmp_f:
+            tmp_file = tmp_f.name
+            tmp_f.write(encode_png(np.ascontiguousarray(image)))
+        try:
+            out = subprocess.check_output(
+                f"tesseract {tmp_file} stdout --psm {self.psm} -l {self.lang} hocr",
+                env=self.env, stderr=subprocess.STDOUT, shell=True)
+        finally:
+            Path(tmp_file).unlink(missing_ok=True)
+        return out.decode("utf-8")
+
+    def of(self, document: "Document"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from img2table_ray.extract.content import OCRWords, parse_hocr
+
+        with ThreadPoolExecutor(max_workers=self.n_threads) as pool:
+            pages = list(pool.map(self.hocr, document.images))
+        records = []
+        for page, hocr in enumerate(pages):
+            records.extend(parse_hocr(hocr, page=page))
+        return OCRWords.from_records(records)
+
+
 class Document:
     """(ref document/base/__init__.py:24-63)"""
 

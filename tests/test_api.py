@@ -80,3 +80,65 @@ def test_multipage_document():
     sel = MultiPageDocument(src=encode_mpng(pages_png), pages=[2, 0])
     tables_sel = sel.extract_tables()
     assert sorted(tables_sel) == [0, 2]
+
+
+def test_tesseract_adapter_missing_binary_raises():
+    from img2table_ray.api import TesseractOCR
+
+    with pytest.raises(OSError, match="Tesseract not found"):
+        TesseractOCR(tessdata_dir="/nonexistent")  # no tesseract in container
+
+
+def test_tesseract_adapter_mocked_e2e(monkeypatch, mock_hocr):
+    """The ADAPTER (availability probe, subprocess drive, hOCR parse) is
+    the tested surface, with the tesseract binary mocked to emit the
+    reference's canned hOCR — mirrors test_image.py:60-90 asserts through
+    the reference's own mock_tesseract strategy (tests/conftest.py:23-39)."""
+    import subprocess
+
+    class _Ret:
+        returncode = 0
+
+    def fake_run(cmd, **kw):
+        assert "tesseract --version" in cmd
+        return _Ret()
+
+    def fake_check_output(cmd, **kw):
+        if "--list-langs" in cmd:
+            return b"List of available languages:\neng\n"
+        assert "hocr" in cmd and "--psm 11" in cmd
+        return mock_hocr.encode()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(subprocess, "check_output", fake_check_output)
+
+    from img2table_ray.api import Image, TesseractOCR
+
+    ocr = TesseractOCR(n_threads=2, lang="eng", psm=11)
+    img = Image(src=f"{REF}/document/image/test_data/test.png", detect_rotation=True)
+    result = img.extract_tables(ocr=ocr, implicit_rows=True, min_confidence=50)
+    assert len(result) == 2
+    assert (result[0].bbox.x1, result[0].bbox.y1,
+            result[0].bbox.x2, result[0].bbox.y2) == (36, 21, 770, 327)
+    assert (result[0].nb_rows, result[0].nb_columns) == (6, 3)
+    assert result[0].title is None
+    assert (result[1].bbox.x1, result[1].bbox.y1,
+            result[1].bbox.x2, result[1].bbox.y2) == (962, 21, 1154, 123)
+    assert (result[1].nb_rows, result[1].nb_columns) == (2, 2)
+
+
+def test_tesseract_adapter_bad_lang_raises(monkeypatch):
+    import subprocess
+
+    class _Ret:
+        returncode = 0
+
+    monkeypatch.setattr(subprocess, "run", lambda cmd, **kw: _Ret())
+    monkeypatch.setattr(
+        subprocess, "check_output",
+        lambda cmd, **kw: b"List of available languages:\neng\n")
+
+    from img2table_ray.api import TesseractOCR
+
+    with pytest.raises(OSError, match="'fra' trainned data"):
+        TesseractOCR(lang="fra")
