@@ -38,6 +38,11 @@ def connected_components_with_stats(binary: np.ndarray):
     run_x2 = ends_c  # exclusive
 
     # --- union runs between consecutive rows (8-connectivity) ---
+    # Vectorized adjacency: runs are raster-sorted, so with a row-keyed
+    # coordinate (row*W2 + x, W2 > max x) ONE global searchsorted pair finds,
+    # for every run, the index range of previous-row runs whose x-interval
+    # touches it (diagonal contact included).  Only the union-find over the
+    # resulting pair list is a Python loop (~one iteration per contact).
     parent = np.arange(n_runs, dtype=np.int64)
 
     def find(i: int) -> int:
@@ -46,25 +51,22 @@ def connected_components_with_stats(binary: np.ndarray):
             i = parent[i]
         return i
 
-    # row -> slice of run indices (runs are sorted by (row, x1) by np.where)
-    row_start = np.searchsorted(run_row, np.arange(h + 1))
-    for r in range(1, h):
-        a0, a1 = row_start[r], row_start[r + 1]       # runs in row r
-        b0, b1 = row_start[r - 1], row_start[r]       # runs in row r-1
-        if a0 == a1 or b0 == b1:
-            continue
-        bi = b0
-        for ai in range(a0, a1):
-            ax1 = run_x1[ai] - 1  # 8-conn: diagonal touch allowed
-            ax2 = run_x2[ai] + 1
-            while bi < b1 and run_x2[bi] <= ax1:
-                bi += 1
-            bj = bi
-            while bj < b1 and run_x1[bj] < ax2:
-                ra, rb = find(ai), find(bj)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-                bj += 1
+    W2 = w + 2
+    prev_key_x2 = (run_row + 1) * W2 + run_x2  # prev-row runs shifted down
+    prev_key_x1 = (run_row + 1) * W2 + run_x1
+    lo = np.searchsorted(prev_key_x2, run_row * W2 + run_x1 - 1, side="right")
+    hi = np.searchsorted(prev_key_x1, run_row * W2 + run_x2 + 1, side="left")
+    counts = np.maximum(hi - lo, 0)
+    total_pairs = int(counts.sum())
+    if total_pairs:
+        a_idx = np.repeat(np.arange(n_runs), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        b_idx = (np.arange(total_pairs, dtype=np.int64)
+                 - np.repeat(cum, counts) + np.repeat(lo, counts))
+        for ai, bj in zip(a_idx.tolist(), b_idx.tolist()):
+            ra, rb = find(ai), find(bj)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
 
     roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
 
