@@ -156,16 +156,38 @@ def gaussian_blur(img: np.ndarray, ksize: int, sigma: float = 0.0) -> np.ndarray
 
 
 def _convolve_axis(f: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
-    """'valid' correlation of a padded array along an axis."""
+    """'valid' correlation of a padded array along an axis.
+
+    Cache-blocked: the k-tap accumulation walks the full image k times, so
+    without blocking a 23-tap blur streams ~2k x image bytes through DRAM.
+    Chunking rows (axis=1) / columns (axis=0) keeps each chunk + its output
+    resident in L2 across all taps — identical arithmetic (per-element tap
+    order unchanged, bit-exact), ~k x less memory traffic.  Bandwidth is
+    the scaling ceiling of a saturated extraction pool."""
     n = len(k)
+    # small images fit in LLC — blocking would only add per-chunk Python
+    # overhead (measured slower below ~4 MB)
+    blocked = f.nbytes > (4 << 20)
     if axis == 1:
-        out = np.zeros((f.shape[0], f.shape[1] - n + 1), dtype=np.float64)
-        for i in range(n):
-            out += k[i] * f[:, i : i + out.shape[1]]
+        w_out = f.shape[1] - n + 1
+        out = np.zeros((f.shape[0], w_out), dtype=np.float64)
+        rows = (max(1, (192 * 1024) // (max(1, f.shape[1]) * 8))
+                if blocked else f.shape[0])
+        for r0 in range(0, f.shape[0], rows):
+            blk = f[r0 : r0 + rows]
+            ob = out[r0 : r0 + rows]
+            for i in range(n):
+                ob += k[i] * blk[:, i : i + w_out]
         return out
-    out = np.zeros((f.shape[0] - n + 1, f.shape[1]), dtype=np.float64)
-    for i in range(n):
-        out += k[i] * f[i : i + out.shape[0], :]
+    h_out = f.shape[0] - n + 1
+    out = np.zeros((h_out, f.shape[1]), dtype=np.float64)
+    rows = (max(1, (192 * 1024) // (max(1, f.shape[1]) * 8))
+            if blocked else h_out)
+    for r0 in range(0, h_out, rows):
+        ob = out[r0 : r0 + rows]
+        ch = ob.shape[0]
+        for i in range(n):
+            ob += k[i] * f[r0 + i : r0 + i + ch, :]
     return out
 
 

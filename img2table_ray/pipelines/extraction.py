@@ -142,10 +142,11 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
             words_ref = ray.put(lookup)
 
     # shared cross-actor memo cache (replicated web documents extract once
-    # per cluster, not once per actor) — see state/cache.py
-    from img2table_ray.state.cache import ExtractionCache
+    # per cluster, not once per actor), sharded so cache RPCs never
+    # serialize behind one actor — see state/cache.py
+    from img2table_ray.state.cache import CacheClient
 
-    cache_handle = ExtractionCache.remote()
+    cache_handle = CacheClient(num_shards=4)
 
     return ds.map_batches(
         PageExtractor,

@@ -243,7 +243,7 @@ class PageExtractor:
             if miss_keys:
                 import time as _time
 
-                states = ray.get(self._cache.claim_many.remote(miss_keys))
+                states = self._cache.claim_many(miss_keys)
                 wait_keys = []
                 for k, (state, v) in zip(miss_keys, states):
                     if state == "hit":
@@ -253,7 +253,7 @@ class PageExtractor:
                 deadline = _time.time() + 15.0
                 while wait_keys and _time.time() < deadline:
                     _time.sleep(0.1)
-                    vals = ray.get(self._cache.get_many.remote(wait_keys))
+                    vals = self._cache.get_many(wait_keys)
                     still = []
                     for k, v in zip(wait_keys, vals):
                         if v is not None:
@@ -271,7 +271,7 @@ class PageExtractor:
                 if fresh and self._cache is not None:
                     # publish IMMEDIATELY (fire-and-forget) so single-flight
                     # waiters on this hot key unblock mid-batch
-                    self._cache.put_many.remote([(k, rows)])
+                    self._cache.put_many([(k, rows)])
             except Exception as exc:  # error records, never fail the block
                 rows = [
                     {

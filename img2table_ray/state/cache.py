@@ -11,9 +11,11 @@ per key: ("hit", rows) | ("mine", None) — caller computes and publishes |
 briefly and falls back to computing on timeout (so a dead claimant cannot
 wedge the pipeline).
 
-Partitioning assumption: a single cache actor (RPCs are one-per-batch).
-At 100 TB this shards by ``doc_key % num_cache_actors``, or is replaced by
-an exact-dedup pre-pass (extract one representative per content hash).
+Partitioning: the cache is SHARDED by key hash across ``num_shards``
+actors (``CacheClient`` routes; one RPC per shard per batch) so a single
+actor's RPC serialization cannot throttle a large extraction pool.  At
+100 TB an exact-dedup pre-pass (extract one representative per content
+hash) replaces the cache entirely.
 """
 
 from __future__ import annotations
@@ -54,3 +56,45 @@ class ExtractionCache:
                 continue
             self._store[k] = v
         return len(self._store)
+
+
+class CacheClient:
+    """Driver-constructed, serializable router over N cache-shard actors.
+    Keys are (md5, md5) tuples; shard = first byte of the first digest."""
+
+    def __init__(self, num_shards: int = 4) -> None:
+        self._shards = [ExtractionCache.remote() for _ in range(num_shards)]
+        self._n = num_shards
+
+    def _route(self, keys: list) -> dict:
+        by: dict[int, list] = {}
+        for i, k in enumerate(keys):
+            by.setdefault(k[0][0] % self._n, []).append((i, k))
+        return by
+
+    def claim_many(self, keys: list) -> list:
+        by = self._route(keys)
+        refs = [self._shards[s].claim_many.remote([k for _, k in items])
+                for s, items in by.items()]
+        out: list = [None] * len(keys)
+        for (s, items), res in zip(by.items(), ray.get(refs)):
+            for (i, _), r in zip(items, res):
+                out[i] = r
+        return out
+
+    def get_many(self, keys: list) -> list:
+        by = self._route(keys)
+        refs = [self._shards[s].get_many.remote([k for _, k in items])
+                for s, items in by.items()]
+        out: list = [None] * len(keys)
+        for (s, items), res in zip(by.items(), ray.get(refs)):
+            for (i, _), r in zip(items, res):
+                out[i] = r
+        return out
+
+    def put_many(self, items: list) -> None:
+        by: dict[int, list] = {}
+        for k, v in items:
+            by.setdefault(k[0][0] % self._n, []).append((k, v))
+        for s, its in by.items():
+            self._shards[s].put_many.remote(its)  # fire-and-forget publish
