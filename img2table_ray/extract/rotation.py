@@ -2,9 +2,9 @@
 rotation.py, after https://www.mdpi.com/2079-9292/9/1/55): CC centroid pair
 angles -> Dixon Q test / projection evaluation -> warpAffine.
 
-The affine warp uses float bilinear sampling (cv2 uses 5-bit fixed-point
-interpolation — sub-ULP differences possible on ROTATED output pixels;
-un-rotated documents take the no-op path and remain byte-identical).
+The affine warp replicates cv2's 5-bit fixed-point INTER_LINEAR pipeline
+at the integer level (see warp_affine), closing the round-1 parity gap on
+ROTATED documents; un-rotated documents take the no-op path regardless.
 """
 
 from __future__ import annotations
@@ -126,40 +126,80 @@ def _rotation_matrix(center: tuple[float, float], angle: float) -> np.ndarray:
 
 def warp_affine(img: np.ndarray, m: np.ndarray, out_wh: tuple[int, int],
                 border_value=0) -> np.ndarray:
-    """cv2.warpAffine with INTER_LINEAR (float bilinear, constant border)."""
-    out_w, out_h = out_wh
-    inv = np.linalg.inv(np.vstack([m, [0, 0, 1]]))[:2]
-    ys, xs = np.mgrid[0:out_h, 0:out_w]
-    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
-    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
-    x0 = np.floor(src_x).astype(np.int64)
-    y0 = np.floor(src_y).astype(np.int64)
-    fx = src_x - x0
-    fy = src_y - y0
-    h, w = img.shape[:2]
+    """cv2.warpAffine with INTER_LINEAR + BORDER_CONSTANT, replicating the
+    OpenCV 5-bit fixed-point pipeline at the integer level (imgwarp.cpp):
 
-    def sample(yy, xx):
+    * inverse map scaled by AB_SCALE=2^10 with cvRound (half-to-even) per
+      row/column delta, + ROUND_DELTA = AB_SCALE/INTER_TAB_SIZE/2,
+    * coordinates X >>= (AB_BITS-INTER_BITS); integer part X>>5, fraction
+      X&31 (INTER_TAB_SIZE=32),
+    * bilinear weights at 1/32 fractions scaled by 2^15 are EXACT integers
+      ((32-fx)*(32-fy)*32 etc., summing to 32768 — cv2's short table holds
+      exactly these, no rounding correction fires),
+    * accumulate in int32, final (acc + 2^14) >> 15, saturate to uint8.
+    """
+    out_w, out_h = out_wh
+    h, w = img.shape[:2]
+    # cv2's exact in-place affine inversion (imgwarp.cpp warpAffine), not
+    # np.linalg.inv — the double-precision op order must match so the
+    # rounded fixed-point coordinates agree
+    m = np.asarray(m, dtype=np.float64)
+    D = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    D = 1.0 / D if D != 0 else 0.0
+    a11 = m[1, 1] * D
+    a22 = m[0, 0] * D
+    a12 = -m[0, 1] * D
+    a21 = -m[1, 0] * D
+    b1 = -a11 * m[0, 2] - a12 * m[1, 2]
+    b2 = -a21 * m[0, 2] - a22 * m[1, 2]
+    inv = np.array([[a11, a12, b1], [a21, a22, b2]])
+
+    AB_BITS, INTER_BITS = 10, 5
+    AB_SCALE = 1 << AB_BITS
+    TAB = 1 << INTER_BITS
+    round_delta = AB_SCALE // TAB // 2
+
+    xs = np.arange(out_w, dtype=np.float64)
+    ys = np.arange(out_h, dtype=np.float64)
+    adelta = np.rint(inv[0, 0] * xs * AB_SCALE).astype(np.int64)
+    bdelta = np.rint(inv[1, 0] * xs * AB_SCALE).astype(np.int64)
+    X0 = (np.rint((inv[0, 1] * ys + inv[0, 2]) * AB_SCALE).astype(np.int64)
+          + round_delta)
+    Y0 = (np.rint((inv[1, 1] * ys + inv[1, 2]) * AB_SCALE).astype(np.int64)
+          + round_delta)
+
+    X = (X0[:, None] + adelta[None, :]) >> (AB_BITS - INTER_BITS)
+    Y = (Y0[:, None] + bdelta[None, :]) >> (AB_BITS - INTER_BITS)
+    ix = X >> INTER_BITS
+    iy = Y >> INTER_BITS
+    fx = (X & (TAB - 1)).astype(np.int32)
+    fy = (Y & (TAB - 1)).astype(np.int32)
+
+    if np.isscalar(border_value):
+        bval = np.array([border_value] * (img.shape[2] if img.ndim == 3 else 1),
+                        dtype=np.uint8)
+    else:
+        bval = np.asarray(border_value, dtype=np.uint8)
+
+    chans = img.reshape(h, w, -1)
+    nc = chans.shape[2]
+
+    def fetch(yy, xx):
         valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
         yc = np.clip(yy, 0, h - 1)
         xc = np.clip(xx, 0, w - 1)
-        if img.ndim == 3:
-            v = img[yc, xc].astype(np.float64)
-            v[~valid] = border_value
-        else:
-            v = img[yc, xc].astype(np.float64)
-            v[~valid] = border_value if np.isscalar(border_value) else border_value[0]
+        v = chans[yc, xc].astype(np.int32)  # (out_h, out_w, nc)
+        v[~valid] = bval[:nc].astype(np.int32)
         return v
 
-    if img.ndim == 3:
-        fx_ = fx[:, :, None]
-        fy_ = fy[:, :, None]
-    else:
-        fx_, fy_ = fx, fy
-    out = ((1 - fx_) * (1 - fy_) * sample(y0, x0)
-           + fx_ * (1 - fy_) * sample(y0, x0 + 1)
-           + (1 - fx_) * fy_ * sample(y0 + 1, x0)
-           + fx_ * fy_ * sample(y0 + 1, x0 + 1))
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    w00 = ((TAB - fx) * (TAB - fy) * 32)[:, :, None]
+    w01 = (fx * (TAB - fy) * 32)[:, :, None]
+    w10 = ((TAB - fx) * fy * 32)[:, :, None]
+    w11 = (fx * fy * 32)[:, :, None]
+    acc = (w00 * fetch(iy, ix) + w01 * fetch(iy, ix + 1)
+           + w10 * fetch(iy + 1, ix) + w11 * fetch(iy + 1, ix + 1))
+    out = np.clip((acc + (1 << 14)) >> 15, 0, 255).astype(np.uint8)
+    return out.reshape((out_h, out_w) if img.ndim == 2 else (out_h, out_w, nc))
 
 
 def rotate_img(img: np.ndarray, angle: float) -> np.ndarray:
