@@ -99,8 +99,10 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     Row i: i % 8 in {0,1,2} -> a reference fixture (replicated; exercises
     the memo-cache path); i % 16 == 7 -> a heavy MULTI-PAGE document (MPNG
     container, 3 unique pages — exercises the 1-doc -> N-page-rows explode
-    and the heavy-pool skew routing); else a UNIQUE synthetic grid image.
-    A minority slice gets lang='de' for predicate-pushdown tests."""
+    and the size-aware skew routing); i % 16 == 11 -> a baseline-JPEG page
+    (web crawls are mostly JPEG; exercises the JPEG decode path in every
+    run); else a UNIQUE synthetic grid PNG.  A minority slice gets
+    lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
     # Python, paid once per actor otherwise).
@@ -130,6 +132,11 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
             return ("multi", encode_mpng(pages_png), hocrs)
         shape = _SYNTH_SHAPES[i % len(_SYNTH_SHAPES)]
         g, hocr = synth_table_image(shape[0], shape[1], i)
+        if i % 16 == 11:
+            from img2table_ray.imgops.jpeg import encode_jpeg
+
+            return (f"jpeg{shape[0]}x{shape[1]}", encode_jpeg(g, quality=95),
+                    [(0, hocr)])
         return (f"synth{shape[0]}x{shape[1]}", encode_png(g), [(0, hocr)])
 
     os.makedirs(f"{out_dir}/pages", exist_ok=True)
