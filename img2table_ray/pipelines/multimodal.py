@@ -116,6 +116,65 @@ class AudioFeatureStage:
         })
 
 
+class VideoFrameSampleStage:
+    """STUB actor-pool stage for video binary columns: frame sampling.
+
+    Real contract: ``__init__`` opens the demuxer/codec once per actor;
+    ``__call__`` demuxes each ``binary`` payload, samples ``n_samples``
+    frames at evenly spaced timestamps, and emits per-row typed metadata
+    (duration, fps, n_frames) plus the sampled frames' mean lumas (the
+    downstream embedding/quality stages consume those).  No video library
+    ships in this container, so decode raises ``NotImplementedError``
+    unless ``deterministic_fake=True`` (md5-derived values — stable,
+    exercises schema/batching/actor plumbing end-to-end).  Batch size must
+    stay SMALL for real video payloads (one clip can be tens of MB)."""
+
+    def __init__(self, n_samples: int = 4, deterministic_fake: bool = False) -> None:
+        self._n = n_samples
+        self._fake = deterministic_fake
+
+    def _decode(self, data: bytes):
+        if not self._fake:
+            raise NotImplementedError(
+                "no video demuxer/codec in this environment; construct the "
+                "stage with deterministic_fake=True or install one on workers"
+            )
+        h = hashlib.md5(data).digest()
+        fps = float(24 + h[0] % 8)
+        n_frames = 24 * (10 + h[1])
+        duration = round(n_frames / fps, 3)
+        lumas = [round(h[2 + i % 12] / 255, 6) for i in range(self._n)]
+        return duration, fps, n_frames, lumas
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload_col = "video" if "video" in batch.schema.names else "html"
+        urls, durs, fpss, nfs, lumas, status = [], [], [], [], [], []
+        for url, data in zip(batch["url"].to_pylist(),
+                             batch[payload_col].to_pylist()):
+            try:
+                d, f, n, ls = self._decode(data)
+                durs.append(d)
+                fpss.append(f)
+                nfs.append(n)
+                lumas.append(ls)
+                status.append("ok")
+            except NotImplementedError:
+                durs.append(None)
+                fpss.append(None)
+                nfs.append(None)
+                lumas.append(None)
+                status.append("unsupported")
+            urls.append(url)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "fps": pa.array(fpss, pa.float64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "frame_lumas": pa.array(lumas, pa.list_(pa.float64())),
+            "status": pa.array(status, pa.string()),
+        })
+
+
 def image_features(sf_dir: str) -> ray.data.Dataset:
     """Per-url image metadata/features over the pages corpus (real decode);
     rows-only driver check.  Large binary payloads -> small batch_size so a

@@ -31,9 +31,14 @@ ray.shutdown()
 """
 
 
-def _run_job(out_dir: str, kill_after: float | None = None) -> bool:
-    """Run the job in a subprocess; optionally SIGKILL the process group
-    after kill_after seconds.  Returns True if the job completed."""
+def _run_job(out_dir: str, kill_mid_run: bool = False) -> bool:
+    """Run the job in a subprocess; with ``kill_mid_run`` SIGKILL the
+    process group as soon as the FIRST wave's manifests are published (so
+    the interruption is guaranteed to land with real progress preserved
+    and real work remaining, independent of machine speed).  Returns True
+    if the job completed."""
+    from img2table_ray.state.manifest import completed_partitions
+
     env = dict(os.environ, RAY_TMPDIR=f"/tmp/ray_kill_{os.path.basename(out_dir)}")
     proc = subprocess.Popen(
         [sys.executable, "-c", JOB_SCRIPT.format(corpus=CORPUS, out=out_dir)],
@@ -41,10 +46,14 @@ def _run_job(out_dir: str, kill_after: float | None = None) -> bool:
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         start_new_session=True, env=env,
     )
-    if kill_after is None:
+    if not kill_mid_run:
         out, _ = proc.communicate(timeout=420)
         return "JOB_DONE" in out
-    time.sleep(kill_after)
+    deadline = time.time() + 360
+    while time.time() < deadline and proc.poll() is None:
+        if len(completed_partitions(out_dir)) >= 1:
+            break
+        time.sleep(0.25)
     os.killpg(proc.pid, signal.SIGKILL)
     proc.wait(timeout=60)
     return False
@@ -71,7 +80,7 @@ def test_kill_and_resume():
 
     killed_out = "/tmp/i2tr_kill_victim"
     shutil.rmtree(killed_out, ignore_errors=True)
-    _run_job(killed_out, kill_after=20.0)  # SIGKILL mid-run
+    _run_job(killed_out, kill_mid_run=True)  # SIGKILL right after wave 1 publishes
     done_after_kill = completed_partitions(killed_out)
     # wave checkpointing: some partitions complete, some not -> a genuine
     # mid-run interruption with real progress to preserve

@@ -204,3 +204,16 @@ def test_multimodal_stages(ray_session, corpus):
                           fn_constructor_kwargs={"deterministic_fake": True}).to_pandas()
     assert (fake["status"] == "ok").all()
     assert fake["duration_s"].notna().all()
+
+    from img2table_ray.pipelines.multimodal import VideoFrameSampleStage
+
+    vstub = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                           batch_size=2, concurrency=1).to_pandas()
+    assert (vstub["status"] == "unsupported").all()
+    vfake = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                           batch_size=2, concurrency=1,
+                           fn_constructor_kwargs={"deterministic_fake": True,
+                                                  "n_samples": 3}).to_pandas()
+    assert (vfake["status"] == "ok").all()
+    assert (vfake["frame_lumas"].map(len) == 3).all()
+    assert (vfake["n_frames"] > 0).all()
