@@ -15,8 +15,13 @@ out bit-identical for baseline images:
   falls back to int_upsample),
 * `ycc_rgb_convert` 16-bit fixed-point tables (SCALEBITS=16).
 
-Unsupported (explicit errors, not wrong pixels): progressive (SOF2),
-arithmetic coding, 12-bit precision, CMYK/4-component.
+Progressive (SOF2) streams are decoded too: spectral-selection and
+successive-approximation scans per ITU T.81 §G.2, with the AC-refinement
+control flow mirroring libjpeg's jdphuff.c; verified by transcoding a
+baseline image's quantized coefficients into multi-scan progressive
+streams (including refinement scans) and requiring bit-identical pixels.
+Unsupported (explicit errors, not wrong pixels): arithmetic coding,
+12-bit precision, CMYK/4-component.
 
 The encoder is a plain baseline writer (standard Annex-K tables scaled by
 quality, 4:2:0) used by tests for roundtrip checks and by pipelines that
@@ -73,7 +78,7 @@ class _HuffLUT:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc_tab", "ac_tab", "blocks_w",
-                 "blocks_h", "coefs", "plane")
+                 "blocks_h", "coefs", "plane", "pcoef", "pred")
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
         self.cid = cid
@@ -82,17 +87,23 @@ class _Component:
         self.tq = tq
 
 
-def _parse(data: bytes):
+def _decode_frame(data: bytes):
+    """Walk all markers; entropy-decode every scan (baseline: one scan via
+    the fast path; progressive SOF2: each spectral/approximation scan per
+    ITU T.81 §G.2 / libjpeg jdphuff semantics).  Returns
+    (width, height, comps-with-.coefs, qt)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffLUT] = {}
     comps: list[_Component] = []
     width = height = None
+    progressive = False
+    decoded = False
     restart_interval = 0
     i = 2
     n = len(data)
-    while i < n:
+    while i < n - 1:
         if data[i] != 0xFF:
             raise JpegError(f"marker desync at {i}")
         m = data[i + 1]
@@ -132,10 +143,11 @@ def _parse(data: bytes):
                         _LUT_CACHE[ck] = lut
                 huff[(tc, th)] = lut
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
+            progressive = m == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3):
@@ -144,28 +156,298 @@ def _parse(data: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-        elif m == 0xC2:
-            raise JpegError("progressive JPEG not supported")
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                c.blocks_w = mcus_x * c.h
+                c.blocks_h = mcus_y * c.v
+                if progressive:
+                    # flat Python list: progressive scans revisit
+                    # coefficients; scalar list ops beat numpy here
+                    c.pcoef = [0] * (c.blocks_w * c.blocks_h * 64)
+                    c.pred = 0
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{m:02x}")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
+            if not comps:
+                raise JpegError("SOS before SOF")
             ns = seg[0]
-            sel = {}
+            scan_sel = []
             for c in range(ns):
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tabs >> 4, tabs & 15)
-            scan_start = i + 2 + L
-            return (width, height, comps, qt, huff, sel, restart_interval,
-                    data, scan_start)
+                scan_sel.append((cs, tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, end = _entropy_segments(data, i + 2 + L)
+            if not progressive:
+                sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+                _decode_coefficients(width, height, comps, huff, sel,
+                                     restart_interval, segs)
+                decoded = True
+                break  # baseline: single scan
+            _progressive_scan(width, height, comps, huff, scan_sel,
+                              ss, se, ah, al, restart_interval, segs)
+            decoded = True
+            i = end
+            continue
         i += 2 + L
-    raise JpegError("no SOS marker")
+    if not decoded:
+        raise JpegError("no SOS marker")
+    if progressive:
+        for c in comps:
+            c.coefs = np.array(c.pcoef, dtype=np.int32).reshape(-1, 64)
+            del c.pcoef
+    return width, height, comps, qt
 
 
-def _entropy_segments(data: bytes, start: int) -> list[bytes]:
+def _progressive_scan(width, height, comps, huff, scan_sel, ss, se, ah, al,
+                      restart_interval, segs):
+    """One progressive scan (T.81 §G.2; control flow mirrors libjpeg's
+    jdphuff.c decode_mcu_* routines, including the AC-refinement
+    correction-bit walk)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {c.cid: c for c in comps}
+    zz = ZIGZAG.tolist()
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise JpegError("bad progressive DC scan band")
+        units = []  # (comp, block_index) in scan order per MCU
+        interleaved = len(scan_sel) > 1
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            c = by_id[scan_sel[0][0]]
+            w2 = -(-(-(-width * c.h // hmax)) // 8)
+            h2 = -(-(-(-height * c.v // vmax)) // 8)
+            n_units = w2 * h2
+        dluts = {cs: huff[(0, td)].lut for cs, td, ta in scan_sel}
+
+        unit = 0
+        seg_idx = 0
+        interval = restart_interval if restart_interval else n_units
+        while unit < n_units:
+            if seg_idx >= len(segs):
+                raise JpegError("truncated progressive DC stream")
+            data = segs[seg_idx]
+            nd = len(data)
+            pos = buf = cnt = 0
+            seg_idx += 1
+            if ah == 0:
+                for c in comps:
+                    c.pred = 0
+            end = min(n_units, unit + interval)
+            while unit < end:
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    blocks = []
+                    for cs, td, ta in scan_sel:
+                        c = by_id[cs]
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                blocks.append(
+                                    (c, ((my * c.v + by) * c.blocks_w
+                                         + mx * c.h + bx) * 64, dluts[cs]))
+                else:
+                    c = by_id[scan_sel[0][0]]
+                    r_, c_ = divmod(unit, w2)
+                    blocks = [(c, (r_ * c.blocks_w + c_) * 64,
+                               dluts[scan_sel[0][0]])]
+                for c, base, dlut in blocks:
+                    if ah == 0:  # first DC scan
+                        while cnt < 16:
+                            buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                            pos += 1
+                            cnt += 8
+                        e = dlut[(buf >> (cnt - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise JpegError("bad progressive DC code")
+                        cnt -= e >> 8
+                        s = e & 0xFF
+                        if s:
+                            while cnt < s:
+                                buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                pos += 1
+                                cnt += 8
+                            v = (buf >> (cnt - s)) & ((1 << s) - 1)
+                            cnt -= s
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            c.pred += v
+                        c.pcoef[base] = c.pred << al
+                    else:  # DC refinement: one bit per block
+                        if cnt < 1:
+                            buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                            pos += 1
+                            cnt += 8
+                        bit = (buf >> (cnt - 1)) & 1
+                        cnt -= 1
+                        if bit:
+                            c.pcoef[base] |= 1 << al
+                    buf &= (1 << cnt) - 1
+                unit += 1
+        return
+
+    # AC scan: single component, non-interleaved
+    if len(scan_sel) != 1:
+        raise JpegError("progressive AC scan must be non-interleaved")
+    cs, td, ta = scan_sel[0]
+    c = by_id[cs]
+    alut = huff[(1, ta)].lut
+    w2 = -(-(-(-width * c.h // hmax)) // 8)
+    h2 = -(-(-(-height * c.v // vmax)) // 8)
+    n_units = w2 * h2
+    pc = c.pcoef
+    p1 = 1 << al
+    m1 = -1 << al
+
+    unit = 0
+    seg_idx = 0
+    interval = restart_interval if restart_interval else n_units
+    while unit < n_units:
+        if seg_idx >= len(segs):
+            raise JpegError("truncated progressive AC stream")
+        data = segs[seg_idx]
+        nd = len(data)
+        pos = buf = cnt = 0
+        seg_idx += 1
+        eobrun = 0
+        end = min(n_units, unit + interval)
+        while unit < end:
+            r_, c_ = divmod(unit, w2)
+            base = (r_ * c.blocks_w + c_) * 64
+
+            if ah == 0:  # first AC scan
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        while cnt < 16:
+                            buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                            pos += 1
+                            cnt += 8
+                        e = alut[(buf >> (cnt - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise JpegError("bad progressive AC code")
+                        cnt -= e >> 8
+                        rs = e & 0xFF
+                        r = rs >> 4
+                        s = rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    while cnt < r:
+                                        buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                        pos += 1
+                                        cnt += 8
+                                    eobrun += (buf >> (cnt - r)) & ((1 << r) - 1)
+                                    cnt -= r
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        if k > se:
+                            raise JpegError("AC band overflow")
+                        while cnt < s:
+                            buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                            pos += 1
+                            cnt += 8
+                        v = (buf >> (cnt - s)) & ((1 << s) - 1)
+                        cnt -= s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        pc[base + zz[k]] = v << al
+                        k += 1
+            else:  # AC refinement (jdphuff decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        while cnt < 16:
+                            buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                            pos += 1
+                            cnt += 8
+                        e = alut[(buf >> (cnt - 16)) & 0xFFFF]
+                        if e == 0:
+                            raise JpegError("bad progressive AC refine code")
+                        cnt -= e >> 8
+                        rs = e & 0xFF
+                        r = rs >> 4
+                        s = rs & 15
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise JpegError("bad refinement magnitude")
+                            if cnt < 1:
+                                buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                pos += 1
+                                cnt += 8
+                            bit = (buf >> (cnt - 1)) & 1
+                            cnt -= 1
+                            newval = p1 if bit else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    while cnt < r:
+                                        buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                        pos += 1
+                                        cnt += 8
+                                    eobrun += (buf >> (cnt - r)) & ((1 << r) - 1)
+                                    cnt -= r
+                                break
+                        while k <= se:
+                            idx = base + zz[k]
+                            cv = pc[idx]
+                            if cv != 0:
+                                if cnt < 1:
+                                    buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                    pos += 1
+                                    cnt += 8
+                                bit = (buf >> (cnt - 1)) & 1
+                                cnt -= 1
+                                if bit and (cv & p1) == 0:
+                                    pc[idx] = cv + (p1 if cv >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if s and k <= se:
+                            pc[base + zz[k]] = newval
+                        k += 1
+                if eobrun:
+                    while k <= se:
+                        idx = base + zz[k]
+                        cv = pc[idx]
+                        if cv != 0:
+                            if cnt < 1:
+                                buf = (buf << 8) | (data[pos] if pos < nd else 0xFF)
+                                pos += 1
+                                cnt += 8
+                            bit = (buf >> (cnt - 1)) & 1
+                            cnt -= 1
+                            if bit and (cv & p1) == 0:
+                                pc[idx] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            buf &= (1 << cnt) - 1
+            unit += 1
+
+
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded stream at restart markers and destuff
-    0xFF00 -> 0xFF.  Returns one byte-string per restart interval."""
+    0xFF00 -> 0xFF.  Returns (one byte-string per restart interval,
+    absolute offset of the marker that ended the scan)."""
     arr = np.frombuffer(data, dtype=np.uint8, count=len(data) - start,
                         offset=start)
     ff = np.nonzero(arr == 0xFF)[0]
@@ -182,9 +464,9 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
             seg_start = p + 2
         else:  # any other marker ends the scan
             segs.append(_destuff(arr[seg_start:p]))
-            return segs
+            return segs, start + int(p)
     segs.append(_destuff(arr[seg_start:]))
-    return segs
+    return segs, len(data)
 
 
 def _destuff(arr: np.ndarray) -> bytes:
@@ -491,13 +773,10 @@ def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (H, W, 3) uint8 RGB array (grayscale
-    JPEGs are replicated to 3 channels, matching cv2 IMREAD_COLOR)."""
-    (width, height, comps, qt, huff, sel, restart_interval, raw,
-     scan_start) = _parse(data)
-    segs = _entropy_segments(raw, scan_start)
-    comps = _decode_coefficients(width, height, comps, huff, sel,
-                                 restart_interval, segs)
+    """Decode baseline or progressive JPEG bytes -> (H, W, 3) uint8 RGB
+    array (grayscale JPEGs are replicated to 3 channels, matching cv2
+    IMREAD_COLOR)."""
+    width, height, comps, qt = _decode_frame(data)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -756,5 +1035,259 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
     out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---- progressive transcoder (coefficient-preserving SOF2 writer) -------
+
+def _build_table(symbols: set, table_len: int = 8):
+    """Canonical Huffman table with every symbol at ``table_len`` bits
+    (valid while |symbols| <= 2^len - 1; the all-ones code stays unused).
+    Returns (bits16, ordered values, {symbol: (code, len)})."""
+    vals = sorted(symbols)
+    if len(vals) > (1 << table_len) - 1:
+        raise JpegError("too many symbols for flat table")
+    bits = [0] * 16
+    bits[table_len - 1] = len(vals)
+    codes = {v: (i, table_len) for i, v in enumerate(vals)}
+    return bits, vals, codes
+
+
+class _ScanEmitter:
+    """Collect-or-emit sink: pass 1 gathers symbol sets, pass 2 writes."""
+
+    def __init__(self, dc_codes=None, ac_codes=None) -> None:
+        self.dc_syms: set = set()
+        self.ac_syms: set = set()
+        self.dc_codes = dc_codes
+        self.ac_codes = ac_codes
+        self.bw = _BitWriter()
+
+    def dc_symbol(self, s: int) -> None:
+        if self.dc_codes is None:
+            self.dc_syms.add(s)
+        else:
+            code, ln = self.dc_codes[s]
+            self.bw.put(code, ln)
+
+    def ac_symbol(self, s: int) -> None:
+        if self.ac_codes is None:
+            self.ac_syms.add(s)
+        else:
+            code, ln = self.ac_codes[s]
+            self.bw.put(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n and self.ac_codes is not None:
+            self.bw.put(v & ((1 << n) - 1), n)
+
+
+def _enc_dc_first(em: _ScanEmitter, comps, scan_comps, mcus_x, mcus_y, al):
+    preds = {c.cid: 0 for c in scan_comps}
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for c in scan_comps:
+            for by in range(c.v):
+                for bx in range(c.h):
+                    base = ((my * c.v + by) * c.blocks_w + mx * c.h + bx) * 64
+                    v = int(c.coefs[base // 64, 0]) >> al
+                    diff = v - preds[c.cid]
+                    preds[c.cid] = v
+                    mag = diff if diff >= 0 else -diff
+                    size = mag.bit_length()
+                    em.dc_symbol(size)
+                    if size:
+                        ev = diff if diff >= 0 else diff + (1 << size) - 1
+                        em.bits(ev, size)
+
+
+def _enc_dc_refine(em: _ScanEmitter, scan_comps, mcus_x, mcus_y, al):
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for c in scan_comps:
+            for by in range(c.v):
+                for bx in range(c.h):
+                    blk = (my * c.v + by) * c.blocks_w + mx * c.h + bx
+                    em.bits((int(c.coefs[blk, 0]) >> al) & 1, 1)
+
+
+class _AcState:
+    __slots__ = ("eobrun", "bbuf")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bbuf: list[int] = []
+
+
+def _emit_eobrun(em: _ScanEmitter, st: _AcState) -> None:
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        em.ac_symbol(nbits << 4)
+        if nbits:
+            em.bits(st.eobrun, nbits)
+        st.eobrun = 0
+    for b in st.bbuf:
+        em.bits(b, 1)
+    st.bbuf = []
+
+
+def _enc_ac_first(em: _ScanEmitter, st: _AcState, c, blk, ss, se, al, zz):
+    row = c.coefs[blk]
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(row[zz[k]])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            _emit_eobrun(em, st)
+            em.ac_symbol(0xF0)
+            r -= 16
+        _emit_eobrun(em, st)
+        if v < 0:
+            t = -t
+        mag = t if t >= 0 else -t
+        size = mag.bit_length()
+        em.ac_symbol((r << 4) | size)
+        ev = t if t >= 0 else t + (1 << size) - 1
+        em.bits(ev, size)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(em, st)
+
+
+def _enc_ac_refine(em: _ScanEmitter, st: _AcState, c, blk, ss, se, al, zz):
+    row = c.coefs[blk]
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(row[zz[k]])
+        t = (v if v >= 0 else -v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(em, st)
+            em.ac_symbol(0xF0)
+            r -= 16
+            for b in br:
+                em.bits(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(em, st)
+        em.ac_symbol((r << 4) | 1)
+        em.bits(1 if int(row[zz[k]]) >= 0 else 0, 1)
+        for b in br:
+            em.bits(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bbuf.extend(br)
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(em, st)
+
+
+def transcode_to_progressive(data: bytes, al: int = 1) -> bytes:
+    """Re-encode a JPEG's QUANTIZED COEFFICIENTS as a progressive (SOF2)
+    stream: spectral-selection bands with successive approximation at
+    ``Al=al`` plus the refinement scans down to 0.  Coefficients are
+    preserved exactly, so decode_jpeg(result) must be bit-identical to
+    decode_jpeg(data) — the correctness harness for the progressive
+    decoder (encoder implemented from T.81 §G.1.2 / jcphuff.c; decoder
+    from §G.2 / jdphuff.c)."""
+    width, height, comps, qt = _decode_frame(data)
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    zz = ZIGZAG.tolist()
+
+    def comp_units(c):
+        w2 = -(-(-(-width * c.h // hmax)) // 8)
+        h2 = -(-(-(-height * c.v // vmax)) // 8)
+        return w2, h2
+
+    # scan script: DC first (interleaved), per-comp AC bands, refinements
+    scans = [("dc_first", None, 0, 0, 0, al)]
+    for c in comps:
+        scans.append(("ac_first", c, 1, 5, 0, al))
+        scans.append(("ac_first", c, 6, 63, 0, al))
+    for lvl in range(al, 0, -1):
+        scans.append(("dc_refine", None, 0, 0, lvl, lvl - 1))
+        for c in comps:
+            scans.append(("ac_refine", c, 1, 63, lvl, lvl - 1))
+
+    def run(emitter_factory):
+        ems = []
+        for kind, c, ss, se, ah, al_ in scans:
+            em = emitter_factory()
+            if kind == "dc_first":
+                _enc_dc_first(em, comps, comps, mcus_x, mcus_y, al_)
+            elif kind == "dc_refine":
+                _enc_dc_refine(em, comps, mcus_x, mcus_y, al_)
+            else:
+                st = _AcState()
+                w2, h2 = comp_units(c)
+                for blk_unit in range(w2 * h2):
+                    r_, c_ = divmod(blk_unit, w2)
+                    blk = r_ * c.blocks_w + c_
+                    if kind == "ac_first":
+                        _enc_ac_first(em, st, c, blk, ss, se, al_, zz)
+                    else:
+                        _enc_ac_refine(em, st, c, blk, ss, se, al_, zz)
+                _emit_eobrun(em, st)
+            em.bw.flush()
+            ems.append(em)
+        return ems
+
+    # pass 1: symbol collection
+    collected = run(lambda: _ScanEmitter())
+    dc_syms = set().union(*[e.dc_syms for e in collected]) or {0}
+    ac_syms = set().union(*[e.ac_syms for e in collected]) or {0}
+    dc_bits, dc_vals, dc_codes = _build_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _build_table(ac_syms)
+    # pass 2: emission
+    emitted = run(lambda: _ScanEmitter(dc_codes, ac_codes))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in sorted(qt.items()):
+        zq = np.zeros(64, dtype=np.uint8)
+        for i in range(64):
+            zq[i] = q[ZIGZAG[i]]
+        out += seg(0xDB, bytes([tq]) + zq.tobytes())
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, len(comps)))
+    for c in comps:
+        sof += bytes([c.cid, (c.h << 4) | c.v, c.tq])
+    out += seg(0xC2, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    for (kind, c, ss, se, ah, al_), em in zip(scans, emitted):
+        if kind.startswith("dc"):
+            sos = bytearray([len(comps)])
+            for cc in comps:
+                sos += bytes([cc.cid, 0x00])
+        else:
+            sos = bytearray([1, c.cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al_])
+        out += seg(0xDA, bytes(sos))
+        out += em.bw.out
     out += b"\xff\xd9"
     return bytes(out)

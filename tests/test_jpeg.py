@@ -42,11 +42,39 @@ def test_odd_dimensions_and_subsampling_crop():
     assert dec.shape == (33, 47, 3)
 
 
-def test_progressive_rejected():
-    # minimal stream with SOF2: must raise a clear error, not wrong pixels
-    bad = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10"
+def test_progressive_decode_identity():
+    """Progressive (SOF2) decoding: transcode the real fixture's QUANTIZED
+    COEFFICIENTS into multi-scan progressive streams (encoder from T.81
+    §G.1.2, decoder from §G.2) — pixels must come out bit-identical to the
+    baseline decode since coefficients are preserved exactly.
+
+    al=1 exercises DC/AC successive-approximation first + refinement scans
+    (correction bits, EOBRUN, newly-nonzero placement); al=0 exercises
+    spectral-selection-only with EOBn runs."""
+    from img2table_ray.imgops.jpeg import transcode_to_progressive
+
+    data = fixture_bytes("titles.jpg")
+    base = decode_jpeg(data)
+    for al in (1, 0):
+        prog = transcode_to_progressive(data, al=al)
+        assert np.array_equal(decode_jpeg(prog), base), f"al={al}"
+
+
+def test_progressive_gray_two_levels():
+    from img2table_ray.imgops.jpeg import transcode_to_progressive
+
+    g = np.tile(np.arange(48, dtype=np.uint8) * 5, (40, 1))
+    gb = encode_jpeg(g, quality=90)
+    gbase = decode_jpeg(gb)
+    gp = transcode_to_progressive(gb, al=2)  # two chained refinement levels
+    assert np.array_equal(decode_jpeg(gp), gbase)
+
+
+def test_unsupported_sof_rejected():
+    # arithmetic-coded SOF9: explicit error, not wrong pixels
+    bad = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10"
            b"\x01\x01\x11\x00" + b"\xff\xd9")
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="unsupported SOF"):
         decode_jpeg(bad)
 
 
