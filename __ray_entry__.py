@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lines": extraction_queries.extract_lines,
         "extract_tables_borderless": extraction_queries.extract_tables_borderless,
         "image_features": multimodal.image_features,
+        "image_thumbnails": multimodal.image_thumbnails,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

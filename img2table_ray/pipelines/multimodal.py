@@ -2,7 +2,8 @@
 as opaque ``binary`` columns with typed metadata; decode / feature-extract
 / resize run as actor-pool ``map_batches`` stages.
 
-Image stages are REAL (the pure-numpy codec decodes PNG/BMP/baseline-JPEG).  Audio/video
+Image stages (features + resize/thumbnail) are REAL — the pure-numpy
+codecs decode PNG/BMP/JPEG (baseline and progressive).  Audio/video
 decoding has no library in this container, so those stages are
 clearly-marked STUBS: the actor signature, batch schema and output layout
 are real and tested; ``decode`` raises ``NotImplementedError`` unless the
@@ -116,6 +117,73 @@ class AudioFeatureStage:
         })
 
 
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic bilinear resize (REAL path, pure numpy): pixel-center
+    sampling (src = (dst + 0.5) * scale - 0.5, clamped), float32 blend,
+    round-half-even to uint8.  Documented semantics of its own — the
+    reference never resizes, so no cv2 parity is claimed."""
+    h, w = img.shape[:2]
+    ys = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).astype(np.float32)[:, None]
+    fx = (xs - x0).astype(np.float32)[None, :]
+    if img.ndim == 3:
+        fy = fy[:, :, None]
+        fx = fx[:, :, None]
+    a = img[np.ix_(y0, x0)].astype(np.float32)
+    b = img[np.ix_(y0, x1)].astype(np.float32)
+    c = img[np.ix_(y1, x0)].astype(np.float32)
+    d = img[np.ix_(y1, x1)].astype(np.float32)
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    return np.clip(np.rint(top + (bot - top) * fy), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """Actor-pool stage (REAL path): decode image bytes -> fixed-size
+    thumbnail re-encoded as PNG (the resize/normalize step of a multimodal
+    training pipeline).  Output rows carry the thumbnail binary + original
+    dims; undecodable payloads become error rows, never task failures."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64) -> None:
+        self._w = out_w
+        self._h = out_h
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from img2table_ray.imgops.png import decode_image, encode_png
+
+        urls, thumbs, ows, ohs, status = [], [], [], [], []
+        for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            key = hashlib.md5(data).digest()
+            res = self._cache.get(key)
+            if res is None:
+                try:
+                    img = decode_image(data)
+                    thumb = resize_bilinear(img, self._w, self._h)
+                    res = (encode_png(thumb), img.shape[1], img.shape[0], "ok")
+                except Exception:
+                    res = (None, -1, -1, "error")
+                if len(self._cache) < 128:
+                    self._cache[key] = res
+            urls.append(url)
+            thumbs.append(res[0])
+            ows.append(res[1])
+            ohs.append(res[2])
+            status.append(res[3])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "thumbnail_png": pa.array(thumbs, pa.binary()),
+            "orig_width": pa.array(ows, pa.int32()),
+            "orig_height": pa.array(ohs, pa.int32()),
+            "status": pa.array(status, pa.string()),
+        })
+
+
 class VideoFrameSampleStage:
     """STUB actor-pool stage for video binary columns: frame sampling.
 
@@ -184,5 +252,18 @@ def image_features(sf_dir: str) -> ray.data.Dataset:
     corpus = corpus_for(sf_dir)
     return ray.data.read_parquet(f"{corpus}/pages", columns=["url", "html"]).map_batches(
         ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )
+
+
+def image_thumbnails(sf_dir: str) -> ray.data.Dataset:
+    """Per-url 64x64 PNG thumbnails over the pages corpus (real decode +
+    bilinear resize + re-encode); rows-only driver check.  Small batches:
+    batch x concurrency of binary payloads must fit worker heaps."""
+    from img2table_ray.pipelines.corpus import corpus_for
+
+    corpus = corpus_for(sf_dir)
+    return ray.data.read_parquet(f"{corpus}/pages", columns=["url", "html"]).map_batches(
+        ImageResizeStage, batch_format="pyarrow", batch_size=16,
         concurrency=actor_concurrency(), num_cpus=1,
     )

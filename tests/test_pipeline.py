@@ -217,3 +217,32 @@ def test_multimodal_stages(ray_session, corpus):
     assert (vfake["status"] == "ok").all()
     assert (vfake["frame_lumas"].map(len) == 3).all()
     assert (vfake["n_frames"] > 0).all()
+
+
+def test_image_resize_stage(ray_session, corpus):
+    """Real resize path: thumbnails decode back to the requested size with
+    sane content; error rows (not failures) for undecodable payloads."""
+    import ray.data
+
+    from img2table_ray.imgops.png import decode_png
+    from img2table_ray.pipelines.multimodal import ImageResizeStage, resize_bilinear
+    import numpy as np
+
+    df = (ray.data.read_parquet(f"{CORPUS}/pages", columns=["url", "html"])
+          .limit(12)
+          .map_batches(ImageResizeStage, batch_format="pyarrow", batch_size=4,
+                       concurrency=1, num_cpus=1,
+                       fn_constructor_kwargs={"out_w": 48, "out_h": 32})
+          .to_pandas())
+    ok = df[df["status"] == "ok"]
+    assert len(ok) > 0
+    for t in ok["thumbnail_png"]:
+        img = decode_png(t)
+        assert img.shape == (32, 48, 3)
+    # resize invariants: constant image stays constant; 2x box downscale of
+    # a checkerboard averages to mid-gray
+    flat = np.full((20, 30, 3), 77, np.uint8)
+    assert (resize_bilinear(flat, 7, 5) == 77).all()
+    checker = np.indices((16, 16)).sum(axis=0) % 2 * 255
+    small = resize_bilinear(checker.astype(np.uint8), 8, 8)
+    assert np.abs(small.astype(int) - 128).max() <= 1
