@@ -185,11 +185,15 @@ def _decode_frame(data: bytes):
             ah, al = ahal >> 4, ahal & 15
             segs, end = _entropy_segments(data, i + 2 + L)
             if not progressive:
+                if len(scan_sel) != len(comps):
+                    # per-component baseline scans are legal but rare; the
+                    # interleaved fast path would decode them WRONG
+                    raise JpegError("non-interleaved baseline scan not supported")
                 sel = {cs: (td, ta) for cs, td, ta in scan_sel}
                 _decode_coefficients(width, height, comps, huff, sel,
                                      restart_interval, segs)
                 decoded = True
-                break  # baseline: single scan
+                break  # baseline: single interleaved scan
             _progressive_scan(width, height, comps, huff, scan_sel,
                               ss, se, ah, al, restart_interval, segs)
             decoded = True
