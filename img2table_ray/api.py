@@ -64,6 +64,10 @@ class TesseractOCR(OCRInstance):
             raise TypeError(f"Invalid type {type(n_threads)} for n_threads argument")
         if not isinstance(lang, str):
             raise TypeError(f"Invalid type {type(lang)} for lang argument")
+        if not re.fullmatch(r"[A-Za-z0-9_]+(\+[A-Za-z0-9_]+)*", lang):
+            # lang reaches a shell=True command line AND is embedded in a
+            # validation regex — reject anything but traineddata-name chars
+            raise ValueError(f"Invalid lang string {lang!r}")
         if not isinstance(psm, int):
             raise TypeError(f"Invalid type {type(psm)} for psm argument")
         self.n_threads = n_threads

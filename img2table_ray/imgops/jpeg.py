@@ -10,10 +10,11 @@ out bit-identical for baseline images:
 * entropy decode per ITU-T.81 §F2 (restart markers supported),
 * dequantize + `jpeg_idct_islow` (Loeffler 13-bit fixed-point butterfly,
   CONST_BITS=13 / PASS1_BITS=2, DESCALE = add-half then arithmetic shift),
-* `h2v2_fancy_upsample` / `h2v1_fancy_upsample` triangle filters for the
-  standard chroma ratios (replicate upsample otherwise, as jdsample.c
-  falls back to int_upsample),
-* `ycc_rgb_convert` 16-bit fixed-point tables (SCALEBITS=16).
+* `h2v2/h2v1/h1v2_fancy_upsample` triangle filters for the standard
+  chroma ratios (replicate upsample otherwise),
+* `ycc_rgb_convert` 16-bit fixed-point tables (SCALEBITS=16); 3-component
+  RGB JPEGs (Adobe APP14 transform=0 or R,G,B component ids) skip the
+  conversion like jdcolor.c does.
 
 Progressive (SOF2) streams are decoded too: spectral-selection and
 successive-approximation scans per ITU T.81 §G.2, with the AC-refinement
@@ -100,12 +101,16 @@ def _decode_frame(data: bytes):
     width = height = None
     progressive = False
     decoded = False
+    adobe_transform = None
     restart_interval = 0
     i = 2
     n = len(data)
     while i < n - 1:
         if data[i] != 0xFF:
             raise JpegError(f"marker desync at {i}")
+        if data[i + 1] == 0xFF:  # fill byte (T.81 B.1.1.2): skip padding
+            i += 1
+            continue
         m = data[i + 1]
         if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
             i += 2
@@ -170,6 +175,8 @@ def _decode_frame(data: bytes):
                     c.pred = 0
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{m:02x}")
+        elif m == 0xEE and seg[:5] == b"Adobe":  # APP14: color transform
+            adobe_transform = seg[11] if len(seg) > 11 else None
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:  # SOS
@@ -206,7 +213,13 @@ def _decode_frame(data: bytes):
         for c in comps:
             c.coefs = np.array(c.pcoef, dtype=np.int32).reshape(-1, 64)
             del c.pcoef
-    return width, height, comps, qt
+    # 3-component color space: YCbCr unless Adobe APP14 says transform=0 or
+    # the component ids literally spell R,G,B (libjpeg jdcolor heuristics)
+    is_rgb = False
+    if len(comps) == 3:
+        cids = tuple(c.cid for c in comps)
+        is_rgb = adobe_transform == 0 or cids == (0x52, 0x47, 0x42)
+    return width, height, comps, qt, is_rgb
 
 
 def _progressive_scan(width, height, comps, huff, scan_sel, ss, se, ah, al,
@@ -752,6 +765,10 @@ def _upsample(plane: np.ndarray, hr: int, vr: int, width: int,
         out = _h2v2_fancy_upsample(plane)
     elif hr == 2 and vr == 1:
         out = _h2v1_fancy_upsample(plane)
+    elif hr == 1 and vr == 2:
+        # h1v2_fancy_upsample = the h2v1 triangle transposed
+        out = np.ascontiguousarray(_h2v1_fancy_upsample(
+            np.ascontiguousarray(plane.T)).T)
     else:  # jdsample.c int_upsample fallback: pixel replication
         out = np.repeat(np.repeat(plane, vr, axis=0), hr, axis=1)
     return out[:height, :width]
@@ -780,7 +797,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline or progressive JPEG bytes -> (H, W, 3) uint8 RGB
     array (grayscale JPEGs are replicated to 3 channels, matching cv2
     IMREAD_COLOR)."""
-    width, height, comps, qt = _decode_frame(data)
+    width, height, comps, qt, is_rgb = _decode_frame(data)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -794,6 +811,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes.append(_upsample(plane, hmax // c.h, vmax // c.v, width, height))
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
+    if is_rgb:  # 3-component RGB JPEG: planes ARE the channels
+        return np.stack(planes, axis=2)
     return _ycc_to_rgb(planes[0], planes[1], planes[2])
 
 
@@ -1213,7 +1232,7 @@ def transcode_to_progressive(data: bytes, al: int = 1) -> bytes:
     decode_jpeg(data) — the correctness harness for the progressive
     decoder (encoder implemented from T.81 §G.1.2 / jcphuff.c; decoder
     from §G.2 / jdphuff.c)."""
-    width, height, comps, qt = _decode_frame(data)
+    width, height, comps, qt, is_rgb = _decode_frame(data)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcus_x = -(-width // (8 * hmax))

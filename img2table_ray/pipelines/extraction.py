@@ -57,9 +57,12 @@ def input_shards(pages_dir: str) -> list[str]:
 
 
 def segregate_by_weight(batch: pa.Table):
-    """Size-aware streaming repartition: light rows stay batched together;
-    heavy rows are re-emitted as ``HEAVY_CHUNK``-row sub-batches so the
-    downstream actor pool never mixes a giant page into a long light batch."""
+    """Size-aware streaming repartition: orders each batch into a light
+    run followed by tiny heavy sub-batches.  Downstream re-batching can
+    still join runs across block boundaries, so the guarantee is
+    ORDERING (heavy rows cluster together, bounding how many light rows
+    can sit behind a giant page in one batch), not strict isolation —
+    per-row work is already bounded by the page explode upstream."""
     mask = pc.greater(batch["doc_bytes"], HEAVY_BYTES)
     if not pc.any(mask).as_py():
         yield batch
@@ -110,15 +113,18 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     selected = [shards[p] for p in sorted(parts)]
     if not selected:
         return ray.data.from_arrow(OUTPUT_SCHEMA.empty_table())
-    part_of_path = {os.path.abspath(shards[p]): p for p in sorted(parts)}
+    # key by BASENAME (unique within the shard dir): include_paths may
+    # report a differently-normalized path than the driver-side glob
+    # (relative cwd, symlinks), and a lookup miss must not fail the task
+    part_of_name = {os.path.basename(shards[p]): p for p in sorted(parts)}
 
     read_filter = (pc.field("lang") == lang_filter) if lang_filter else None
     ds = ray.data.read_parquet(selected, columns=["url", "html"],
                                filter=read_filter, include_paths=True)
 
-    def tag_part(batch: pa.Table, lut=part_of_path) -> pa.Table:
+    def tag_part(batch: pa.Table, lut=part_of_name) -> pa.Table:
         paths = batch["path"].to_pylist()
-        part = pa.array([lut[os.path.abspath(p)] for p in paths], pa.int32())
+        part = pa.array([lut[os.path.basename(p)] for p in paths], pa.int32())
         return batch.drop_columns(["path"]).append_column("part", part)
 
     ds = ds.map_batches(tag_part, batch_format="pyarrow")

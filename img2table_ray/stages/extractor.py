@@ -305,6 +305,9 @@ class PageExtractor:
                     c[1] += 1
                 elif st == "error":
                     c[2] += 1
-            ray.get(self._stats.add.remote(counts))
+            # content-derived key -> retried/re-executed batches dedup
+            bk = hashlib.md5(
+                repr([(u, p) for u, p in zip(urls, pages)]).encode()).digest()
+            ray.get(self._stats.add.remote(bk, counts))
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)

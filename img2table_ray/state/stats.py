@@ -19,8 +19,16 @@ import ray
 class StatsCollector:
     def __init__(self) -> None:
         self._parts: dict[int, list[int]] = {}
+        self._seen: set = set()
 
-    def add(self, updates: dict[int, list[int]]) -> None:
+    def add(self, batch_key: bytes, updates: dict[int, list[int]]) -> None:
+        """Idempotent: ``batch_key`` identifies the batch CONTENT, so a Ray
+        task retry or block re-execution re-sending the same batch cannot
+        double-count (the replaced output-parquet re-read was naturally
+        idempotent; this preserves that property)."""
+        if batch_key in self._seen:
+            return
+        self._seen.add(batch_key)
         for part, (d, t, e) in updates.items():
             c = self._parts.setdefault(int(part), [0, 0, 0])
             c[0] += d

@@ -141,3 +141,41 @@ def test_jpeg_flows_through_extraction(ray_session):
     df = extract_pages(d).to_pandas()
     assert (df["status"] == "ok").all()
     assert (df["nb_rows"] == 3).all() and (df["nb_columns"] == 3).all()
+
+
+def test_fill_bytes_skipped():
+    """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2)."""
+    img = np.full((24, 40, 3), 180, np.uint8)
+    data = encode_jpeg(img, quality=90)
+    # inject two fill bytes before the first marker after SOI
+    padded = data[:2] + b"\xff\xff" + data[2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(data))
+
+
+def test_rgb_component_ids_skip_ycc():
+    """3-component JPEGs whose ids spell R,G,B hold RGB planes directly
+    (jdcolor.c heuristic) — the YCbCr conversion must be skipped."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = [100, 150, 200]
+    data = bytearray(encode_jpeg(img, quality=95))
+    # patch component ids 1,2,3 -> 'R','G','B' in SOF and SOS
+    i = 2
+    import struct as _s
+    while i < len(data):
+        m = data[i + 1]
+        L = _s.unpack(">H", bytes(data[i + 2:i + 4]))[0]
+        if m == 0xC0:
+            for c in range(3):  # payload: prec,h,w,nc then (cid,hv,tq)*3
+                data[i + 4 + 6 + 3 * c] = b"RGB"[c]
+        elif m == 0xDA:
+            for c in range(3):
+                data[i + 4 + 1 + 2 * c] = b"RGB"[c]
+            break
+        i += 2 + L
+    out = decode_jpeg(bytes(data))
+    # channels must now be the RAW planes = forward-YCbCr of the constant
+    y = round(0.299 * 100 + 0.587 * 150 + 0.114 * 200)
+    cb = round(-0.168735892 * 100 - 0.331264108 * 150 + 0.5 * 200 + 128)
+    cr = round(0.5 * 100 - 0.418687589 * 150 - 0.081312411 * 200 + 128)
+    mean = out.reshape(-1, 3).mean(axis=0)
+    assert np.abs(mean - np.array([y, cb, cr])).max() < 3
