@@ -190,6 +190,19 @@ def _decode_frame(data: bytes):
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
+            # validate every table/component id referenced by this scan so a
+            # corrupt stream raises JpegError, not a bare KeyError (callers
+            # filter on JpegError for error rows)
+            frame_ids = {c.cid for c in comps}
+            for cs, td, ta in scan_sel:
+                if cs not in frame_ids:
+                    raise JpegError(f"scan references undefined component {cs}")
+                needs_dc = (not progressive) or (ss == 0 and ah == 0)
+                needs_ac = (not progressive) or ss > 0
+                if needs_dc and (0, td) not in huff:
+                    raise JpegError(f"undefined DC Huffman table {td}")
+                if needs_ac and (1, ta) not in huff:
+                    raise JpegError(f"undefined AC Huffman table {ta}")
             segs, end = _entropy_segments(data, i + 2 + L)
             if not progressive:
                 if len(scan_sel) != len(comps):
@@ -197,6 +210,8 @@ def _decode_frame(data: bytes):
                     # interleaved fast path would decode them WRONG
                     raise JpegError("non-interleaved baseline scan not supported")
                 sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+                if set(sel) != frame_ids:  # duplicate scan component ids
+                    raise JpegError("baseline scan does not cover all components")
                 _decode_coefficients(width, height, comps, huff, sel,
                                      restart_interval, segs)
                 decoded = True
@@ -802,6 +817,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c.v for c in comps)
     planes = []
     for c in comps:
+        if c.tq not in qt:
+            raise JpegError(f"undefined quantization table {c.tq}")
         samples = _idct_islow(c.coefs, qt[c.tq])
         plane = _assemble_plane(c, samples)
         # crop to the component's true sample dims before upsampling

@@ -70,8 +70,10 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     # coalesce before the shuffle: Ray's sort-shuffle fixed cost scales with
     # input block count (measured 3-4x on the combiner output), and the
     # combiner output is tiny relative to the input (at 100 TB the coalesce
-    # is noise next to the scan)
-    partial = partial.repartition(8)
+    # is noise next to the scan); width scales with cluster CPUs
+    from img2table_ray.stages.util import shuffle_width
+
+    partial = partial.repartition(shuffle_width())
     return partial.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
@@ -133,8 +135,11 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
         override_num_blocks=actor_concurrency(),
     ).map_batches(_minhash_explode, batch_format="pandas", batch_size=1024)
     # coalesce before the shuffle (sort-shuffle fixed cost scales with
-    # input block count; the exploded band rows are tiny)
-    pairs = exploded.repartition(8).groupby(["band", "band_hash"]).map_groups(
+    # input block count; the exploded band rows are tiny relative to the
+    # corpus); width derived from cluster size, never a hardcode
+    from img2table_ray.stages.util import shuffle_width
+
+    pairs = exploded.repartition(shuffle_width()).groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     # per-batch combiner: a pair found in several bands usually lands in the
@@ -281,13 +286,15 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
              "hamming": ham[keep]}
         )
 
-    pairs = exploded.repartition(8).groupby(["chunk", "chunk_val"]).map_groups(
+    from img2table_ray.stages.util import shuffle_width
+
+    pairs = exploded.repartition(shuffle_width()).groupby(["chunk", "chunk_val"]).map_groups(
         chunk_pairs, batch_format="pandas"
     )
     from ray.data.aggregate import Min as _Min
 
     return (
-        pairs.repartition(8)
+        pairs.repartition(shuffle_width())
         .groupby(["doc_id_a", "doc_id_b"])
         .aggregate(_Min("hamming", alias_name="hamming"))
     )

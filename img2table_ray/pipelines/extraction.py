@@ -75,6 +75,19 @@ def segregate_by_weight(batch: pa.Table):
         yield heavy.slice(s, HEAVY_CHUNK)
 
 
+def tag_part_batch(batch: pa.Table, lut: dict[str, int]) -> pa.Table:
+    """Replace the read's ``path`` column with the shard's partition id.
+
+    A miss (path normalized beyond the basename, e.g. a copied/renamed
+    shard) routes the row to sentinel part -1 instead of failing the read
+    task; such rows still extract and land in the ``part=-1`` output
+    directory, where they are visible rather than silently lost."""
+    paths = batch["path"].to_pylist()
+    part = pa.array([lut.get(os.path.basename(p), -1) for p in paths],
+                    pa.int32())
+    return batch.drop_columns(["path"]).append_column("part", part)
+
+
 def load_words_lookup(words_dir: str) -> dict:
     """Driver-side load of the words sidecar -> {(url, page): hocr}.  Small
     side of the broadcast join; at 100 TB this becomes a hash join on
@@ -122,12 +135,8 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     ds = ray.data.read_parquet(selected, columns=["url", "html"],
                                filter=read_filter, include_paths=True)
 
-    def tag_part(batch: pa.Table, lut=part_of_name) -> pa.Table:
-        paths = batch["path"].to_pylist()
-        part = pa.array([lut[os.path.basename(p)] for p in paths], pa.int32())
-        return batch.drop_columns(["path"]).append_column("part", part)
-
-    ds = ds.map_batches(tag_part, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b, lut=part_of_name: tag_part_batch(b, lut),
+                        batch_format="pyarrow")
     ds = ds.map_batches(probe_batch, batch_format="pyarrow")
     # 1 multi-page doc -> N page rows BEFORE the heavy per-page work
     ds = ds.map_batches(explode_pages, batch_format="pyarrow")

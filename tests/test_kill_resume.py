@@ -54,7 +54,13 @@ def _run_job(out_dir: str, kill_mid_run: bool = False) -> bool:
         if len(completed_partitions(out_dir)) >= 1:
             break
         time.sleep(0.25)
-    os.killpg(proc.pid, signal.SIGKILL)
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        proc.wait(timeout=60)
+        raise AssertionError(
+            "job completed before the kill landed — corpus too small to "
+            "interrupt mid-run; grow it so the kill/resume path is exercised")
     proc.wait(timeout=60)
     return False
 

@@ -1,0 +1,57 @@
+"""Scale-design guards: quality pins and sizing rules that CI must hold.
+
+* IVF recall pin — ``ann_ivf_topk`` is approximate by design (rows-only in
+  the driver's gate), so its quality is pinned HERE: recall@10 >= 0.9
+  against the exact ``ann_topk`` baseline on the test embeddings.
+* ``shuffle_width`` — the pre-groupby coalesce width must be derived from
+  cluster size (a hardcode silently becomes TB-blocks on a real cluster).
+* ``tag_part_batch`` — a path-lookup miss must route rows to sentinel
+  part -1, never fail the read task.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_at_10(ray_session):
+    from img2table_ray.pipelines.similarity import ann_ivf_topk, ann_topk
+
+    exact = ann_topk(SF_DIR).to_pandas()
+    approx = ann_ivf_topk(SF_DIR).to_pandas()
+    exact_sets = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    approx_sets = {q: set(g["vec_id"]) for q, g in approx.groupby("query_id")}
+    assert set(exact_sets) == set(approx_sets)
+    hits = total = 0
+    for q, want in exact_sets.items():
+        hits += len(want & approx_sets[q])
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall@10 degraded: {recall:.3f} < 0.9"
+
+
+def test_shuffle_width_scales_with_cluster(monkeypatch):
+    import img2table_ray.stages.util as util
+
+    monkeypatch.setattr(util.ray, "cluster_resources", lambda: {"CPU": 32.0})
+    assert util.shuffle_width() == 8  # local sweet spot preserved
+    monkeypatch.setattr(util.ray, "cluster_resources", lambda: {"CPU": 2048.0})
+    assert util.shuffle_width() == 512  # grows with the cluster
+    monkeypatch.setattr(util.ray, "cluster_resources", lambda: {"CPU": 4.0})
+    assert util.shuffle_width() == 8  # floored
+
+
+def test_tag_part_miss_routes_to_sentinel():
+    from img2table_ray.pipelines.extraction import tag_part_batch
+
+    batch = pa.table({
+        "url": ["a", "b"],
+        "html": [b"x", b"y"],
+        "path": ["/data/pages/pages_0000.parquet",
+                 "/data/pages/renamed_shard.parquet"],
+    })
+    out = tag_part_batch(batch, {"pages_0000.parquet": 0})
+    assert out.column("part").to_pylist() == [0, -1]
+    assert "path" not in out.schema.names
