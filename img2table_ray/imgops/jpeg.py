@@ -60,7 +60,7 @@ class _HuffLUT:
     codes are <= 16 bits).  Entries are packed (length << 8 | symbol) in a
     plain Python list — list indexing is the decode loop's hot op."""
 
-    __slots__ = ("lut",)
+    __slots__ = ("lut", "arr", "_xdc", "_xac")
 
     def __init__(self, bits: list[int], huffval: bytes) -> None:
         arr = np.zeros(1 << 16, dtype=np.int32)
@@ -74,7 +74,35 @@ class _HuffLUT:
                 code += 1
                 k += 1
             code <<= 1
+        self.arr = arr  # numpy view for the vectorized decoder
         self.lut = arr.tolist()
+        self._xdc = None
+        self._xac = None
+
+    def xdc(self) -> list:
+        """Composite DC chase table: window -> total bit advance
+        (code + value bits); 0 marks an invalid code."""
+        if self._xdc is None:
+            cl = self.arr >> 8
+            s = self.arr & 0xFF
+            self._xdc = np.where(self.arr == 0, 0, cl + s).tolist()
+        return self._xdc
+
+    def xac(self) -> list:
+        """Composite AC chase table: window -> (advance << 8) | k_advance,
+        k_advance = r+1 for a coefficient, 16 for ZRL, 64 for EOB, 255 for
+        an invalid code."""
+        if self._xac is None:
+            cl = self.arr >> 8
+            sym = self.arr & 0xFF
+            s = sym & 15
+            kadv = np.where(s > 0, (sym >> 4) + 1,
+                            np.where(sym == 0xF0, 16, 64))
+            bad = self.arr == 0
+            kadv = np.where(bad, 255, kadv)
+            adv = np.where(bad, 1, cl + s)
+            self._xac = ((adv << 8) | kadv).tolist()
+        return self._xac
 
 
 class _Component:
@@ -212,8 +240,15 @@ def _decode_frame(data: bytes):
                 sel = {cs: (td, ta) for cs, td, ta in scan_sel}
                 if set(sel) != frame_ids:  # duplicate scan component ids
                     raise JpegError("baseline scan does not cover all components")
-                _decode_coefficients(width, height, comps, huff, sel,
-                                     restart_interval, segs)
+                # vectorized path for real streams; the scalar decoder
+                # stays for tiny ones (its per-symbol cost beats the
+                # vector setup below ~2 KB) and as the parity reference
+                if sum(len(s) for s in segs) >= 2048:
+                    _decode_coefficients_vec(width, height, comps, huff,
+                                             sel, restart_interval, segs)
+                else:
+                    _decode_coefficients(width, height, comps, huff, sel,
+                                         restart_interval, segs)
                 decoded = True
                 break  # baseline: single interleaved scan
             _progressive_scan(width, height, comps, huff, scan_sel,
@@ -508,6 +543,193 @@ def _destuff(arr: np.ndarray) -> bytes:
     return np.delete(arr, ff0 + 1).tobytes()
 
 
+def _decode_coefficients_vec(width, height, comps, huff, sel,
+                             restart_interval, segs):
+    """Vectorized baseline entropy decode — same results as
+    :func:`_decode_coefficients`, restructured as a numpy table-driven
+    state machine.
+
+    Per restart segment, THREE phases replace the per-symbol bit-buffer
+    arithmetic of the scalar path:
+
+    1. numpy precompute of the 16-bit lookahead window ``win[p]`` for
+       every bit position p (8 strided slice-assigns over a 24-bit byte
+       window, no gathers), plus cached per-TABLE composite chase LUTs
+       (``_HuffLUT.xac``: window -> packed (bit advance incl. value bits,
+       k advance); built once per Huffman table, reused across decodes).
+    2. a minimal Python pointer chase that records each symbol's bit
+       position — ~6 ops per symbol against the composite LUTs, the only
+       sequential part (Huffman streams carry no parallel structure
+       without restart markers; restart segments themselves are
+       independent).  No per-position arrays are materialized: an
+       earlier all-positions design (step table per bit offset) measured
+       SLOWER here — its ~100 MB/decode of table traffic loses to the
+       cache-resident window on a memory-bandwidth-starved host.
+    3. vectorized extraction at the recorded positions: LUT gathers give
+       size/run, window gathers give value bits, sign extension and the
+       zigzag index come from per-block cumulative sums, and DC
+       predictors are a per-component cumsum.
+
+    Overreads past the segment end hit 0xFF padding exactly like the
+    scalar path; a chase escaping the padded window raises
+    ``JpegError('truncated entropy stream')``.
+    """
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.blocks_w = mcus_x * c.h
+        c.blocks_h = mcus_y * c.v
+        c.dc_tab, c.ac_tab = sel[c.cid]
+    n_mcus = mcus_x * mcus_y
+
+    # plan: one entry per block of an MCU, in scan order
+    plan = []
+    for ci, c in enumerate(comps):
+        for by in range(c.v):
+            for bx in range(c.h):
+                plan.append((ci, c.v, c.h, by, bx, c.blocks_w))
+    L = len(plan)
+    p_ci = np.array([e[0] for e in plan], dtype=np.int64)
+    p_cv = np.array([e[1] for e in plan], dtype=np.int64)
+    p_ch = np.array([e[2] for e in plan], dtype=np.int64)
+    p_by = np.array([e[3] for e in plan], dtype=np.int64)
+    p_bx = np.array([e[4] for e in plan], dtype=np.int64)
+    p_bw = np.array([e[5] for e in plan], dtype=np.int64)
+
+    ac_tabs = sorted({c.ac_tab for c in comps})
+    dc_tabs = sorted({c.dc_tab for c in comps})
+    aclut2d = np.stack([huff[(1, t)].arr for t in ac_tabs])
+    dclut2d = np.stack([huff[(0, t)].arr for t in dc_tabs])
+    p_atab = np.array([ac_tabs.index(comps[e[0]].ac_tab) for e in plan],
+                      dtype=np.int64)
+    p_dtab = np.array([dc_tabs.index(comps[e[0]].dc_tab) for e in plan],
+                      dtype=np.int64)
+
+    # per-component scatter accumulators
+    idx_out: list[list[np.ndarray]] = [[] for _ in comps]
+    val_out: list[list[np.ndarray]] = [[] for _ in comps]
+
+    interval = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    seg_idx = 0
+    while mcu < n_mcus:
+        if seg_idx >= len(segs):
+            raise JpegError("truncated entropy stream")
+        data = segs[seg_idx]
+        seg_idx += 1
+        mcu_hi = min(n_mcus, mcu + interval)
+
+        # ---- phase 1: lookahead windows (the only per-position array) ----
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+        a = np.concatenate([a, np.full(20, 0xFF, dtype=np.uint32)])
+        w24 = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+        npos = 8 * len(w24)
+        win = np.empty(npos, dtype=np.int32)
+        for sh in range(8):
+            win[sh::8] = (((w24 << sh) >> 8) & 0xFFFF).astype(np.int32)
+        win_mv = memoryview(win)
+
+        # ---- phase 2: pointer chase (sequential) --------------------------
+        dc_pos: list[int] = []
+        ac_pos: list[int] = []
+        counts: list[int] = []
+        app_a = ac_pos.append
+        app_c = counts.append
+        plan_rt = [
+            (huff[(0, comps[e[0]].dc_tab)].xdc(),
+             huff[(1, comps[e[0]].ac_tab)].xac())
+            for e in plan
+        ]
+        p = 0
+        try:
+            for _m in range(mcu, mcu_hi):
+                for xdc, xac in plan_rt:
+                    adv = xdc[win_mv[p]]
+                    if adv == 0:
+                        raise JpegError("bad DC Huffman code")
+                    dc_pos.append(p)
+                    p += adv
+                    k = 1
+                    c0 = len(ac_pos)
+                    while k < 64:
+                        t = xac[win_mv[p]]
+                        ka = t & 0xFF
+                        if ka >= 64:
+                            if ka == 64:
+                                p += t >> 8
+                                break  # EOB
+                            raise JpegError("bad AC Huffman code")
+                        app_a(p)
+                        k += ka
+                        p += t >> 8
+                    if k > 64:
+                        raise JpegError("AC index overflow")
+                    app_c(len(ac_pos) - c0)
+        except IndexError:
+            raise JpegError("truncated entropy stream") from None
+
+        # ---- phase 3: vectorized extraction -------------------------------
+        nb = len(dc_pos)
+        bidx = np.arange(nb, dtype=np.int64)
+        mcu_abs = mcu + bidx // L
+        slot = bidx % L
+        my, mx = np.divmod(mcu_abs, mcus_x)
+        base = ((my * p_cv[slot] + p_by[slot]) * p_bw[slot]
+                + (mx * p_ch[slot] + p_bx[slot])) * 64
+        ci_blk = p_ci[slot]
+
+        # DC: size, raw bits, sign-extend, per-component predictor cumsum
+        dcp = np.array(dc_pos, dtype=np.int64)
+        e = dclut2d[p_dtab[slot], win[dcp]]
+        s_ = e & 0xFF
+        raw = (win[dcp + (e >> 8)] >> (16 - s_)) & ((1 << s_) - 1)
+        half = 1 << np.maximum(s_, 1) - 1
+        dv = raw - np.where(raw < half, (1 << s_) - 1, 0)
+        for ci in range(len(comps)):
+            m_ = ci_blk == ci
+            if m_.any():
+                idx_out[ci].append(base[m_])
+                val_out[ci].append(np.cumsum(dv[m_]))
+
+        # AC: per-coefficient table gathers + per-block cumulative k
+        if ac_pos:
+            counts_np = np.array(counts, dtype=np.int64)
+            block_of = np.repeat(bidx, counts_np)
+            acp = np.array(ac_pos, dtype=np.int64)
+            e = aclut2d[p_atab[slot[block_of]], win[acp]]
+            sym = e & 0xFF
+            s_ = sym & 15
+            raw = (win[acp + (e >> 8)] >> (16 - s_)) & ((1 << s_) - 1)
+            half = 1 << np.maximum(s_, 1) - 1
+            av = raw - np.where(raw < half, (1 << s_) - 1, 0)
+            kadv = np.where(s_ > 0, (sym >> 4) + 1, 16)
+            cs = np.cumsum(kadv)
+            starts = np.cumsum(counts_np) - counts_np
+            nz = counts_np > 0
+            before = np.repeat((cs - kadv)[starts[nz]], counts_np[nz])
+            kzz = cs - before  # 1-based zigzag emission index
+            m_ = s_ > 0  # ZRL rows advance k but emit nothing
+            flat = base[block_of[m_]] + ZIGZAG[kzz[m_]]
+            civ = ci_blk[block_of[m_]]
+            for ci in range(len(comps)):
+                cm = civ == ci
+                if cm.any():
+                    idx_out[ci].append(flat[cm])
+                    val_out[ci].append(av[m_][cm])
+
+        mcu = mcu_hi
+
+    for ci, c in enumerate(comps):
+        flat = np.zeros(c.blocks_h * c.blocks_w * 64, dtype=np.int32)
+        if idx_out[ci]:
+            flat[np.concatenate(idx_out[ci])] = np.concatenate(
+                val_out[ci]).astype(np.int32)
+        c.coefs = flat.reshape(-1, 64)
+    return comps
+
+
 def _decode_coefficients(width, height, comps, huff, sel, restart_interval,
                          segs):
     """Sequential entropy decode.  The bit reader is inlined as local ints
@@ -678,8 +900,23 @@ def _idct_butterfly(c0, c1, c2, c3, c4, c5, c6, c7):
 
 def _idct_islow(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """(N, 64) zig-zag-deraster coefficients + (64,) raster quant table ->
-    (N, 8, 8) uint8 samples, bit-exact vs jidctint.c."""
-    blk = (coefs.astype(np.int64) * quant.astype(np.int64)).reshape(-1, 8, 8)
+    (N, 8, 8) uint8 samples, bit-exact vs jidctint.c.
+
+    Arithmetic is int32 like libjpeg's INT32 (wraparound-compatible), and
+    blocks whose AC coefficients are all zero take jidctint's exact DC-only
+    shortcut (all 64 samples = DESCALE(dc*q, 3)) — the dominant case in
+    document images, whose backgrounds are flat."""
+    n = len(coefs)
+    dc_only = ~(coefs[:, 1:] != 0).any(axis=1)
+    out8 = np.empty((n, 8, 8), dtype=np.uint8)
+    if dc_only.any():
+        dcval = (coefs[dc_only, 0].astype(np.int32) * np.int32(quant[0]) + 4) >> 3
+        flat = np.clip(dcval + 128, 0, 255).astype(np.uint8)
+        out8[dc_only] = flat[:, None, None]
+        if dc_only.all():
+            return out8
+        coefs = coefs[~dc_only]
+    blk = (coefs.astype(np.int32) * quant.astype(np.int32)).reshape(-1, 8, 8)
     # pass 1: columns
     c = [blk[:, r, :] for r in range(8)]
     t10, t11, t12, t13, t0, t1, t2, t3 = _idct_butterfly(*c)
@@ -705,7 +942,8 @@ def _idct_islow(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     out[:, :, 5] = _descale(t12 - t1, sh)
     out[:, :, 3] = _descale(t13 + t0, sh)
     out[:, :, 4] = _descale(t13 - t0, sh)
-    return np.clip(out + 128, 0, 255).astype(np.uint8)
+    out8[~dc_only] = np.clip(out + 128, 0, 255).astype(np.uint8)
+    return out8
 
 
 def _assemble_plane(c: _Component, samples: np.ndarray) -> np.ndarray:

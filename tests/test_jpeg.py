@@ -179,3 +179,27 @@ def test_rgb_component_ids_skip_ycc():
     cr = round(0.5 * 100 - 0.418687589 * 150 - 0.081312411 * 200 + 128)
     mean = out.reshape(-1, 3).mean(axis=0)
     assert np.abs(mean - np.array([y, cb, cr])).max() < 3
+
+
+def test_vectorized_scalar_entropy_parity(monkeypatch):
+    """The vectorized entropy decoder and the scalar reference must produce
+    bit-identical pixels on real color (4:2:0) and grayscale streams,
+    including restart-interval-free single-segment layout."""
+    import img2table_ray.imgops.jpeg as jm
+
+    rng = np.random.default_rng(7)
+    gray = (rng.integers(0, 256, (67, 53))).astype(np.uint8)
+    color_src = np.repeat(gray[:, :, None], 3, axis=2)
+    streams = [
+        fixture_bytes("titles.jpg"),
+        encode_jpeg(gray, quality=85),
+        encode_jpeg(color_src, quality=40),
+    ]
+    for data in streams:
+        got_vec = decode_jpeg(data)
+        monkeypatch.setattr(
+            jm, "_decode_coefficients_vec",
+            lambda *a, **k: jm._decode_coefficients(*a[:7], **k))
+        got_scal = decode_jpeg(data)
+        monkeypatch.undo()
+        assert np.array_equal(got_vec, got_scal)
