@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": extraction_queries.extract_metrics,
         "extract_lines": extraction_queries.extract_lines,
         "extract_tables_borderless": extraction_queries.extract_tables_borderless,
+        "pdf_words": extraction_queries.pdf_words,
         "image_features": multimodal.image_features,
         "image_thumbnails": multimodal.image_thumbnails,
         # --- text analysis over documents ---

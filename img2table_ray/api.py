@@ -124,6 +124,32 @@ class TesseractOCR(OCRInstance):
         return OCRWords.from_records(records)
 
 
+class PdfOCR(OCRInstance):
+    """Native PDF text-layer word provider (ref ocr/pdf.py:156-235),
+    backed by the pure-Python parser in ``extract/pdftext.py`` instead of
+    pypdfium2.  Word ids/values/line structure reproduce the reference's
+    own ``content.json`` golden exactly; box coordinates are bit-exact
+    except where the pre-truncation value lands exactly on a pixel
+    boundary (see tests/test_pdftext.py)."""
+
+    def of(self, document: "Document"):
+        from img2table_ray.extract.content import OCRWords
+        from img2table_ray.extract.pdftext import pdf_words_content
+
+        pages = getattr(document, "pages", None)
+        content = pdf_words_content(document.bytes, pages=pages)
+        records = [w for page_words in content for w in page_words]
+        return OCRWords.from_records(records)
+
+    def content(self, document: "Document") -> list[list[dict]]:
+        """Raw per-page word dicts — mirrors ``PdfOCR.content`` in the
+        reference so its content.json golden applies directly."""
+        from img2table_ray.extract.pdftext import pdf_words_content
+
+        return pdf_words_content(document.bytes,
+                                 pages=getattr(document, "pages", None))
+
+
 class Document:
     """(ref document/base/__init__.py:24-63)"""
 
@@ -230,3 +256,39 @@ class MultiPageDocument(Document):
             # remap output keys to original page indices (ref base/__init__.py:138-140)
             tables = {self.pages[k]: v for k, v in tables.items()}
         return tables
+
+
+class PDF(Document):
+    """Native PDF document (ref document/pdf.py).
+
+    The text layer (``PdfOCR``) is fully supported via the pure-Python
+    parser; ``images`` — the @200-DPI page rasters the reference obtains
+    from pypdfium2 (document/pdf.py:46-67) — still requires a renderer
+    absent from this environment, so table *structure* extraction raises.
+    ``pages=[...]`` selects pages as in the reference (pdf.py:21).
+    """
+
+    def __init__(self, src, pages: Optional[list[int]] = None,
+                 detect_rotation: bool = False) -> None:
+        super().__init__(src, detect_rotation=detect_rotation)
+        if pages is not None:
+            if (not isinstance(pages, list)
+                    or any(not isinstance(p, int) for p in pages)):
+                raise TypeError(f"Invalid type {type(pages)} for pages argument")
+        self.pages = sorted(pages) if isinstance(pages, list) else None
+
+    @property
+    def n_pages(self) -> int:
+        from img2table_ray.extract.pdftext import pdf_page_count
+
+        return pdf_page_count(self.bytes)
+
+    def words(self):
+        """Native text-layer words (OCRWords) for the selected pages."""
+        return PdfOCR().of(self)
+
+    @property
+    def images(self) -> list[np.ndarray]:
+        from img2table_ray.extract.pdf import PdfiumRenderer
+
+        return PdfiumRenderer().render(self.bytes, pages=self.pages)

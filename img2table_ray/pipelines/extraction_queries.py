@@ -184,3 +184,102 @@ def extract_tables_borderless(sf_dir: str) -> ray.data.Dataset:
     corpus = _borderless_corpus(sf_dir)
     return extract_pages(corpus, words_dir=None, borderless=True,
                          implicit_rows=False)
+
+
+class _PdfWordsStage:
+    """Actor-pool stage: native PDF text-layer words per document
+    (ref ocr/pdf.py:157-235 via extract/pdftext.py).
+
+    The PDF bytes ride the batch (``pdf`` binary column); parsing state
+    (nothing heavy today, but the slot where a pdfium handle would live)
+    is per-actor.  Output: one row per word — the OCRDataframe schema
+    plus ``doc_id``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from img2table_ray.extract.pdftext import PdfTextError, pdf_words_content
+
+        rows = {k: [] for k in ("doc_id", "page", "word_id", "parent",
+                                "value", "confidence",
+                                "x1", "y1", "x2", "y2", "status")}
+        for doc_id, data in zip(batch["doc_id"].to_pylist(),
+                                batch["pdf"].to_pylist()):
+            try:
+                content = pdf_words_content(data)
+                for page_words in content:
+                    for w in page_words:
+                        if w["class"] != "ocrx_word":
+                            continue
+                        rows["doc_id"].append(doc_id)
+                        rows["page"].append(w["page"])
+                        rows["word_id"].append(w["id"])
+                        rows["parent"].append(w["parent"])
+                        rows["value"].append(w["value"])
+                        rows["confidence"].append(w["confidence"])
+                        for k in ("x1", "y1", "x2", "y2"):
+                            rows[k].append(w[k])
+                        rows["status"].append("ok")
+            except PdfTextError as err:
+                rows["doc_id"].append(doc_id)
+                rows["page"].append(-1)
+                rows["word_id"].append(None)
+                rows["parent"].append(None)
+                rows["value"].append(None)
+                rows["confidence"].append(None)
+                for k in ("x1", "y1", "x2", "y2"):
+                    rows[k].append(-1)
+                rows["status"].append(f"error: {err}")
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "page": pa.array(rows["page"], pa.int64()),
+                "word_id": pa.array(rows["word_id"], pa.string()),
+                "parent": pa.array(rows["parent"], pa.string()),
+                "value": pa.array(rows["value"], pa.string()),
+                "confidence": pa.array(rows["confidence"], pa.int64()),
+                "x1": pa.array(rows["x1"], pa.int64()),
+                "y1": pa.array(rows["y1"], pa.int64()),
+                "x2": pa.array(rows["x2"], pa.int64()),
+                "y2": pa.array(rows["y2"], pa.int64()),
+                "status": pa.array(rows["status"], pa.string()),
+            }
+        )
+
+
+def _pdf_corpus(sf_dir: str) -> str:
+    """Deterministic PDF corpus: the vendored 2-page fixture replicated
+    with doc ids (no external data; FIXTURES.md §5)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from img2table_ray.fixtures import fixture_bytes
+    from img2table_ray.pipelines.corpus import CORPUS_ROOT, SF_ROWS
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_rows = max(8, SF_ROWS.get(sf_name, 64) // 8)
+    out = os.path.join(CORPUS_ROOT, f"pdf-{sf_name}")
+    marker = os.path.join(out, ".complete-v1")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(f"{out}/pdfs", exist_ok=True)
+    pdf = fixture_bytes("test.pdf")
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_rows), pa.int64()),
+        "pdf": pa.array([pdf] * n_rows, pa.binary()),
+    })
+    pq.write_table(tbl, f"{out}/pdfs/part-00000.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def pdf_words(sf_dir: str) -> ray.data.Dataset:
+    """Native PDF text-layer words through the Ray pipeline (rows-only:
+    PDF parsing is not SQL-expressible)."""
+    corpus = _pdf_corpus(sf_dir)
+    return ray.data.read_parquet(
+        f"{corpus}/pdfs", columns=["doc_id", "pdf"],
+    ).map_batches(
+        _PdfWordsStage, batch_format="pyarrow", batch_size=8,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )

@@ -295,19 +295,19 @@ class PageExtractor:
         # parquet.  Synchronous send so no count can be lost between task
         # completion and the driver's totals read; one small RPC per batch.
         if self._stats is not None:
-            counts: dict[int, list[int]] = {}
-            for part, page, ti, st in zip(out["part"], out["page"],
-                                          out["table_idx"], out["status"]):
-                c = counts.setdefault(int(part), [0, 0, 0])
-                if page == 0 and ti <= 0:
-                    c[0] += 1  # one row per document has (page 0, table_idx<=0)
-                if st == "ok":
-                    c[1] += 1
-                elif st == "error":
-                    c[2] += 1
-            # content-derived key -> retried/re-executed batches dedup
-            bk = hashlib.md5(
-                repr([(u, p) for u, p in zip(urls, pages)]).encode()).digest()
-            ray.get(self._stats.add.remote(bk, counts))
+            # row-identity keys -> idempotent under retries AND re-chunked
+            # batch boundaries (ADVICE r2): one entry per output row
+            stat_rows = []
+            for url, part, page, ti, st in zip(out["url"], out["part"],
+                                               out["page"], out["table_idx"],
+                                               out["status"]):
+                rk = hashlib.md5(f"{url}\x1f{page}\x1f{ti}".encode()).digest()
+                stat_rows.append((
+                    rk, int(part),
+                    1 if (page == 0 and ti <= 0) else 0,  # one per document
+                    1 if st == "ok" else 0,
+                    1 if st == "error" else 0,
+                ))
+            ray.get(self._stats.add.remote(stat_rows))
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)

@@ -21,19 +21,25 @@ class StatsCollector:
         self._parts: dict[int, list[int]] = {}
         self._seen: set = set()
 
-    def add(self, batch_key: bytes, updates: dict[int, list[int]]) -> None:
-        """Idempotent: ``batch_key`` identifies the batch CONTENT, so a Ray
-        task retry or block re-execution re-sending the same batch cannot
-        double-count (the replaced output-parquet re-read was naturally
-        idempotent; this preserves that property)."""
-        if batch_key in self._seen:
-            return
-        self._seen.add(batch_key)
-        for part, (d, t, e) in updates.items():
+    def add(self, rows: list) -> None:
+        """Idempotent at ROW granularity: each element is
+        ``(row_key, part, is_doc, n_ok, n_err)`` where ``row_key`` is a
+        digest of the row's identity (url, page, table_idx) — stable
+        under retries AND under lineage reconstruction that re-chunks
+        blocks into different batch boundaries (a batch-content key
+        would only dedup identical batches).  Memory: 16 B/row-digest;
+        bounded by output rows per job — acceptable for the per-shard
+        manifest jobs this collector serves, and the at-scale plan
+        (shard collectors by ``part``, drop a part's seen-set once its
+        manifest is written) is unchanged."""
+        for row_key, part, is_doc, n_ok, n_err in rows:
+            if row_key in self._seen:
+                continue
+            self._seen.add(row_key)
             c = self._parts.setdefault(int(part), [0, 0, 0])
-            c[0] += d
-            c[1] += t
-            c[2] += e
+            c[0] += is_doc
+            c[1] += n_ok
+            c[2] += n_err
 
     def totals(self) -> dict[int, list[int]]:
         return self._parts
