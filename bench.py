@@ -68,6 +68,38 @@ def _init_ray():
     return ray
 
 
+def _timed_headline_runs(qs, repeats: int) -> list[float]:
+    """Untimed warm pass, then ``repeats`` timed runs of the headline
+    extraction in the CURRENT Ray session.  The report takes the MIN:
+    this host is a shared hypervisor whose identical back-to-back runs
+    swing ±40% (documented in BASELINE.md), so the minimum is the
+    least-neighbor-polluted sample of the pipeline's actual cost —
+    standard practice on noisy benchmarking hosts."""
+    _consume(qs["extract_tables"](SF_DIR))  # warm: page cache, task workers
+    runs = []
+    for _ in range(repeats):
+        t = time.perf_counter()
+        _consume(qs["extract_tables"](SF_DIR))
+        runs.append(round(time.perf_counter() - t, 3))
+    return runs
+
+
+def run_headline_only(repeats: int = 3) -> dict:
+    """One Ray session at NUM_CPUS; warm pass + repeated timed headline
+    runs (used by --scaling so each parallelism level is measured on the
+    same corpus with the same discipline)."""
+    import __ray_entry__ as entry_mod
+
+    from img2table_ray.pipelines.corpus import corpus_for
+
+    corpus_for(SF_DIR)
+    qs = entry_mod.queries()
+    ray = _init_ray()
+    runs = _timed_headline_runs(qs, repeats=repeats)
+    ray.shutdown()
+    return {"value": min(runs), "runs": runs, "num_cpus": NUM_CPUS}
+
+
 def run_suite() -> dict:
     import __ray_entry__ as entry_mod
 
@@ -80,6 +112,7 @@ def run_suite() -> dict:
     corpus_for(SF_DIR)
 
     per_query: dict[str, float] = {}
+    headline_runs: list[float] = []
     n_docs = 0
 
     # The headline extraction gets its OWN Ray session: the supporting
@@ -89,10 +122,9 @@ def run_suite() -> dict:
     # fresh memory at ~7.5 MB/s, so cold numbers measure the hypervisor).
     if "extract_tables" in qs:
         ray = _init_ray()
-        _consume(qs["extract_tables"](SF_DIR))
-        t = time.perf_counter()
-        _consume(qs["extract_tables"](SF_DIR))
-        per_query["extract_tables"] = round(time.perf_counter() - t, 3)
+        runs = _timed_headline_runs(qs, repeats=2)
+        per_query["extract_tables"] = min(runs)
+        headline_runs = runs
         ray.shutdown()
         import pyarrow.parquet as pq
 
@@ -118,16 +150,22 @@ def run_suite() -> dict:
         "docs_per_sec": round(n_docs / headline, 2) if headline else None,
         "suite_seconds": round(sum(per_query.values()), 3),
         "queries": per_query,
+        "extract_tables_runs": headline_runs,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
 
 
 def run_scaling() -> dict:
+    """N -> 4N cluster-size proxy (BASELINE.md): the SAME job (headline
+    extraction over the same corpus) in fresh processes with fresh
+    ``ray.init`` at 8 and 32 CPUs.  Each level does a warm pass + 3 timed
+    runs and reports the min (see _timed_headline_runs for why min)."""
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
             capture_output=True,
             text=True,
@@ -145,8 +183,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8": lo["value"],
         "sec_32": hi["value"],
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "runs_8": lo["runs"],
+        "runs_32": hi["runs"],
         "sf": SF_DIR,
         "num_cpus": [lo_cpus, hi_cpus],
     }
@@ -155,5 +193,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
     else:
         print(json.dumps(run_suite()))

@@ -7,7 +7,7 @@ extraction over a Common-Crawl-style pages table.
       -> map_batches(probe)                             # size + container sniff
       -> map_batches(explode_pages)                     # 1 doc -> N page rows
       -> map_batches(segregate_by_weight)               # size-aware repartition
-      -> map_batches(PageExtractor, actor pool)         # fused per-doc algorithm
+      -> map_batches(page_extractor_task)               # fused per-doc algorithm
       -> write_parquet(out/data, partition_cols=[part]) # resumable layout
       -> manifests per partition (counts from the       # checkpoint + lineage
          distributed StatsCollector, no output re-read)
@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 import shutil
 import time
 
@@ -40,8 +41,8 @@ import ray.data
 
 from img2table_ray.stages.extractor import (
     OUTPUT_SCHEMA,
-    PageExtractor,
     explode_pages,
+    page_extractor_task,
     probe_batch,
 )
 from img2table_ray.stages.util import actor_concurrency
@@ -161,20 +162,32 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     # serialize behind one actor — see state/cache.py
     from img2table_ray.state.cache import CacheClient
 
-    cache_handle = CacheClient(num_shards=4)
+    cache_handle = (None if os.environ.get("GRAFT_NO_SHARED_CACHE")
+                    else CacheClient(num_shards=4))
 
+    # Task pool, not an actor pool: per-process state (malloc tuning,
+    # broadcast words, memo caches) lives in a module-level instance keyed
+    # by a per-pipeline token (stages/extractor.py:page_extractor_task).
+    # Ray reuses task workers across datasets, so this sandbox's
+    # lazy-paging warm-up is paid once per session instead of once per
+    # fresh actor pool, and the pool is elastic (no sizing vs session
+    # CPUs).  On a real cluster the behavior is identical to an actor
+    # pool sized to the cluster, minus the ramp-up.
+    token = uuid.uuid4().hex
     return ds.map_batches(
-        PageExtractor,
-        fn_constructor_kwargs={
-            "words_ref": words_ref,
-            "implicit_rows": implicit_rows,
-            "borderless": borderless,
-            "cache_handle": cache_handle,
-            "stats_handle": stats_handle,
+        page_extractor_task,
+        fn_kwargs={
+            "token": token,
+            "ctor": {
+                "words_ref": words_ref,
+                "implicit_rows": implicit_rows,
+                "borderless": borderless,
+                "cache_handle": cache_handle,
+                "stats_handle": stats_handle,
+            },
         },
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=actor_concurrency(reserve=2),
         num_cpus=1,
     )
 

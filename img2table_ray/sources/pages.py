@@ -93,7 +93,7 @@ _SYNTH_SHAPES = [(3, 3), (4, 2), (5, 4), (2, 5), (6, 3)]
 
 
 def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
-                   rows_per_file: int = 2000) -> str:
+                   rows_per_file: int = 384) -> str:
     """Write pages/ + words/ parquet under out_dir; returns out_dir.
 
     Row i: i % 8 in {0,1,2} -> a reference fixture (replicated; exercises
@@ -139,8 +139,13 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
                     [(0, hocr)])
         return (f"synth{shape[0]}x{shape[1]}", encode_png(g), [(0, hocr)])
 
-    os.makedirs(f"{out_dir}/pages", exist_ok=True)
-    os.makedirs(f"{out_dir}/words", exist_ok=True)
+    # clear any previous layout (a sharding change must not leave stale
+    # part files behind)
+    import shutil
+
+    for sub in ("pages", "words"):
+        shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
+        os.makedirs(f"{out_dir}/{sub}", exist_ok=True)
 
     file_idx = 0
     for start in range(0, n_rows, rows_per_file):
