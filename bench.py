@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "pricing_summary",
     "events_hourly",
+    "extract_tables_joined",
     "extract_tables",
 ]
 

@@ -58,6 +58,12 @@ def sniff_kind(data: bytes) -> str:
         return "bmp"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 

@@ -178,7 +178,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff container and decode PNG, BMP or baseline JPEG -> RGB array."""
+    """Sniff container and decode PNG, BMP, JPEG (baseline+progressive),
+    TIFF, or GIF -> (H, W, 3) uint8 RGB array."""
     if data[:8] == _SIG:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -187,4 +188,15 @@ def decode_image(data: bytes) -> np.ndarray:
         from img2table_ray.imgops.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from img2table_ray.imgops.tiff import decode_tiff
+
+        return decode_tiff(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from img2table_ray.imgops.gif import decode_gif
+
+        return decode_gif(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        raise PngError("WebP container recognized but not yet decodable"
+                       " (VP8/VP8L entropy decode not implemented)")
     raise PngError("unsupported image container")

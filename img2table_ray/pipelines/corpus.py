@@ -23,7 +23,7 @@ def corpus_for(sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_rows = SF_ROWS.get(sf_name, DEFAULT_ROWS)
     out = os.path.join(CORPUS_ROOT, sf_name)
-    marker = os.path.join(out, f".complete-v4-{n_rows}")  # v4: 384-row shards (16-way read at sf0.1)
+    marker = os.path.join(out, f".complete-v5-{n_rows}")  # v5: TIFF+GIF rows (i%16 in {12,13})
     if not os.path.exists(marker):
         generate_pages(out, n_rows)
         with open(marker, "w") as f:

@@ -237,12 +237,15 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
         # publish manifests for this wave (data is durable at this point);
         # counts come from the distributed collector, not an output re-read
         totals = ray.get(stats_actor.totals.remote())
+        err_fmt = ray.get(stats_actor.errors_by_format.remote())
         for part in sorted(wave_parts):
             n_docs, n_tables, n_errors = totals.get(part, [0, 0, 0])
+            by_fmt = err_fmt.get(part, {})
             mf.write_manifest(out_dir, part, n_docs=n_docs, n_tables=n_tables,
-                              n_errors=n_errors, wall_s=time.time() - t0)
+                              n_errors=n_errors, wall_s=time.time() - t0,
+                              errors_by_format=by_fmt)
             stats[part] = {"n_docs": n_docs, "n_tables": n_tables,
-                           "n_errors": n_errors}
+                           "n_errors": n_errors, "errors_by_format": by_fmt}
 
     return {
         "out_dir": out_dir,

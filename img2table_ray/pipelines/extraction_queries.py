@@ -25,6 +25,16 @@ def extract_tables(sf_dir: str) -> ray.data.Dataset:
     return extract_pages(corpus, words_dir=f"{corpus}/words")
 
 
+def extract_tables_joined(sf_dir: str) -> ray.data.Dataset:
+    """Extraction with the hash-partitioned ``Dataset.join`` words path
+    (``join_words=True``) — the declared 100 TB design for a words side too
+    big to broadcast.  Same rows as extract_tables (equivalence pinned in
+    tests/test_pipeline.py::test_words_hash_join_matches_broadcast); timed
+    separately in bench.py so the join's aggregator sizing is measured."""
+    corpus = corpus_for(sf_dir)
+    return extract_pages(corpus, words_dir=f"{corpus}/words", join_words=True)
+
+
 def extract_tables_en(sf_dir: str) -> ray.data.Dataset:
     """Same with a lang pushdown filter (projection + predicate demo)."""
     corpus = corpus_for(sf_dir)

@@ -101,7 +101,8 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     container, 3 unique pages — exercises the 1-doc -> N-page-rows explode
     and the size-aware skew routing); i % 16 == 11 -> a baseline-JPEG page
     (web crawls are mostly JPEG; exercises the JPEG decode path in every
-    run); else a UNIQUE synthetic grid PNG.  A minority slice gets
+    run); i % 16 == 12 -> TIFF (LZW + predictor, strip layout); i % 16 ==
+    13 -> GIF; else a UNIQUE synthetic grid PNG.  A minority slice gets
     lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
@@ -137,6 +138,17 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
 
             return (f"jpeg{shape[0]}x{shape[1]}", encode_jpeg(g, quality=95),
                     [(0, hocr)])
+        if i % 16 == 12:
+            from img2table_ray.imgops.tiff import encode_tiff
+
+            return (f"tiff{shape[0]}x{shape[1]}",
+                    encode_tiff(g, compression="lzw", predictor=True,
+                                rows_per_strip=64),
+                    [(0, hocr)])
+        if i % 16 == 13:
+            from img2table_ray.imgops.gif import encode_gif
+
+            return (f"gif{shape[0]}x{shape[1]}", encode_gif(g), [(0, hocr)])
         return (f"synth{shape[0]}x{shape[1]}", encode_png(g), [(0, hocr)])
 
     # clear any previous layout (a sharding change must not leave stale

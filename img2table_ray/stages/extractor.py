@@ -50,7 +50,7 @@ def probe_batch(batch: pa.Table) -> pa.Table:
 
     html = batch["html"]
     sizes = pc.binary_length(html)
-    kinds = [sniff_kind(v.as_py()[:8] if v.is_valid else b"") for v in html]
+    kinds = [sniff_kind(v.as_py()[:16] if v.is_valid else b"") for v in html]
     return batch.append_column("doc_bytes", sizes).append_column(
         "doc_kind", pa.array(kinds, pa.string())
     )
@@ -297,7 +297,13 @@ class PageExtractor:
         # completion and the driver's totals read; one small RPC per batch.
         if self._stats is not None:
             # row-identity keys -> idempotent under retries AND re-chunked
-            # batch boundaries (ADVICE r2): one entry per output row
+            # batch boundaries (ADVICE r2): one entry per output row.
+            # Error rows carry the sniffed container kind so unsupported
+            # formats are countable per partition (manifest errors_by_format).
+            kinds = (batch["doc_kind"].to_pylist()
+                     if "doc_kind" in batch.schema.names
+                     else ["unknown"] * len(batch))
+            kind_of = {(u, p): k for u, p, k in zip(urls, pages, kinds)}
             stat_rows = []
             for url, part, page, ti, st in zip(out["url"], out["part"],
                                                out["page"], out["table_idx"],
@@ -308,6 +314,7 @@ class PageExtractor:
                     1 if (page == 0 and ti <= 0) else 0,  # one per document
                     1 if st == "ok" else 0,
                     1 if st == "error" else 0,
+                    kind_of.get((url, page), "unknown"),
                 ))
             ray.get(self._stats.add.remote(stat_rows))
 

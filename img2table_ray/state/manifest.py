@@ -44,7 +44,8 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def write_manifest(out_dir: str, part: int, n_docs: int, n_tables: int,
-                   n_errors: int, wall_s: float, attempt: int = 1) -> None:
+                   n_errors: int, wall_s: float, attempt: int = 1,
+                   errors_by_format: dict | None = None) -> None:
     mdir = manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
     payload = {
@@ -53,6 +54,9 @@ def write_manifest(out_dir: str, part: int, n_docs: int, n_tables: int,
         "n_docs": n_docs,
         "n_tables": n_tables,
         "n_errors": n_errors,
+        # unsupported/corrupt containers must be COUNTABLE, not silent:
+        # per-format error tallies (e.g. {"webp": 3, "unknown": 1})
+        "errors_by_format": errors_by_format or {},
         "wall_s": round(wall_s, 3),
         "attempt": attempt,
         "written_at": time.time(),

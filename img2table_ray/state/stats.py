@@ -19,20 +19,24 @@ import ray
 class StatsCollector:
     def __init__(self) -> None:
         self._parts: dict[int, list[int]] = {}
+        self._err_fmt: dict[int, dict[str, int]] = {}
         self._seen: set = set()
 
     def add(self, rows: list) -> None:
         """Idempotent at ROW granularity: each element is
-        ``(row_key, part, is_doc, n_ok, n_err)`` where ``row_key`` is a
-        digest of the row's identity (url, page, table_idx) — stable
-        under retries AND under lineage reconstruction that re-chunks
-        blocks into different batch boundaries (a batch-content key
-        would only dedup identical batches).  Memory: 16 B/row-digest;
-        bounded by output rows per job — acceptable for the per-shard
-        manifest jobs this collector serves, and the at-scale plan
-        (shard collectors by ``part``, drop a part's seen-set once its
-        manifest is written) is unchanged."""
-        for row_key, part, is_doc, n_ok, n_err in rows:
+        ``(row_key, part, is_doc, n_ok, n_err, fmt)`` where ``row_key``
+        is a digest of the row's identity (url, page, table_idx) —
+        stable under retries AND under lineage reconstruction that
+        re-chunks blocks into different batch boundaries (a
+        batch-content key would only dedup identical batches).  ``fmt``
+        is the sniffed container kind, tallied per part for ERROR rows
+        so unsupported formats stay countable in the manifests.
+        Memory: 16 B/row-digest; bounded by output rows per job —
+        acceptable for the per-shard manifest jobs this collector
+        serves, and the at-scale plan (shard collectors by ``part``,
+        drop a part's seen-set once its manifest is written) is
+        unchanged."""
+        for row_key, part, is_doc, n_ok, n_err, fmt in rows:
             if row_key in self._seen:
                 continue
             self._seen.add(row_key)
@@ -40,6 +44,12 @@ class StatsCollector:
             c[0] += is_doc
             c[1] += n_ok
             c[2] += n_err
+            if n_err:
+                d = self._err_fmt.setdefault(int(part), {})
+                d[fmt] = d.get(fmt, 0) + n_err
 
     def totals(self) -> dict[int, list[int]]:
         return self._parts
+
+    def errors_by_format(self) -> dict[int, dict[str, int]]:
+        return self._err_fmt
