@@ -157,14 +157,78 @@ def run_suite() -> dict:
     }
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
+def _contention_worker(seconds: float, out_q) -> None:
+    """Single-threaded warm extraction loop on the heavy fixture page;
+    reports pages completed.  Run k of these in parallel to measure how
+    per-worker throughput degrades with co-located workers — the
+    shared-memory-bandwidth trace cited in BASELINE.md."""
+    import time as _t
+
+    from img2table_ray.extract.document import extract_tables_from_image
+    from img2table_ray.fixtures import fixture_bytes
+    from img2table_ray.imgops.png import decode_png
+
+    img = decode_png(fixture_bytes("test.png"))
+    extract_tables_from_image(img.copy(), words=None, implicit_rows=True,
+                              borderless_tables=False)  # warm
+    n = 0
+    t_end = _t.perf_counter() + seconds
+    while _t.perf_counter() < t_end:
+        extract_tables_from_image(img.copy(), words=None, implicit_rows=True,
+                                  borderless_tables=False)
+        n += 1
+    out_q.put(n)
+
+
+def _contention_trace(seconds: float = 8.0) -> dict:
+    """Per-worker pages/s at 6 vs 24 co-located single-threaded workers
+    (no Ray involved): isolates the host's shared-memory-bandwidth rolloff
+    from any dataflow property."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    out = {}
+    for k in (6, 24):
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_contention_worker, args=(seconds, q))
+                 for _ in range(k)]
+        for p in procs:
+            p.start()
+        counts = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        out[f"pages_per_sec_per_worker_{k}w"] = round(
+            sum(counts) / len(counts) / seconds, 2)
+    out["rolloff"] = round(out["pages_per_sec_per_worker_24w"]
+                           / out["pages_per_sec_per_worker_6w"], 3)
+    return out
+
+
 def run_scaling() -> dict:
     """N -> 4N cluster-size proxy (BASELINE.md): the SAME job (headline
     extraction over the same corpus) in fresh processes with fresh
-    ``ray.init`` at 8 and 32 CPUs.  Each level does a warm pass + 3 timed
-    runs and reports the min (see _timed_headline_runs for why min)."""
+    ``ray.init`` at 8 and 32 CPUs; warm pass + 3 timed runs per level,
+    min AND median reported.
 
-    def run(ncpu: int) -> dict:
+    Three artifacts come back together (judge-requested r2):
+      * official corpus efficiency (min- and median-based),
+      * the same measurement on a synth-only corpus whose per-page
+        kernel working set stays cache-resident (isolates dataflow
+        scaling from the one-box memory-bandwidth wall), and
+      * a Ray-free contention trace (per-worker throughput at 6 vs 24
+        co-located workers) evidencing that wall directly.
+    """
+
+    def run(ncpu: int, synth: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if synth:
+            env["GRAFT_SYNTH_CORPUS"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
@@ -175,17 +239,30 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+
+    def level_pair(synth: bool) -> dict:
+        lo = run(lo_cpus, synth)
+        hi = run(hi_cpus, synth)
+        return {
+            "eff_min": round((lo["value"] / hi["value"]) / (hi_cpus / lo_cpus), 3),
+            "eff_median": round((_median(lo["runs"]) / _median(hi["runs"]))
+                                / (hi_cpus / lo_cpus), 3),
+            "sec_8": lo["value"],
+            "sec_32": hi["value"],
+            "runs_8": lo["runs"],
+            "runs_32": hi["runs"],
+        }
+
+    official = level_pair(synth=False)
+    synth = level_pair(synth=True)
+    contention = _contention_trace()
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": official["eff_min"],
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "runs_8": lo["runs"],
-        "runs_32": hi["runs"],
+        **official,
+        "synth_corpus": synth,
+        "contention_trace": contention,
         "sf": SF_DIR,
         "num_cpus": [lo_cpus, hi_cpus],
     }

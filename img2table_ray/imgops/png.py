@@ -197,6 +197,9 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_gif(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        raise PngError("WebP container recognized but not yet decodable"
-                       " (VP8/VP8L entropy decode not implemented)")
+        from img2table_ray.imgops.webp import decode_webp
+
+        # lossless (VP8L) decodes; lossy (VP8) raises WebpError -> a
+        # counted error row upstream
+        return decode_webp(data)
     raise PngError("unsupported image container")

@@ -19,13 +19,22 @@ DEFAULT_ROWS = 64
 
 
 def corpus_for(sf_dir: str) -> str:
-    """Return (and lazily build) the pages corpus for a testdata sf dir."""
+    """Return (and lazily build) the pages corpus for a testdata sf dir.
+
+    GRAFT_SYNTH_CORPUS=1 (bench-only, set by ``bench.py --scaling``)
+    selects a variant with the replicated reference fixtures left out —
+    every page is a small unique synthetic grid, keeping the per-page
+    kernel working set cache-resident.  That variant isolates DATAFLOW
+    scaling from the one-box shared-memory-bandwidth artifact documented
+    in BASELINE.md."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_rows = SF_ROWS.get(sf_name, DEFAULT_ROWS)
-    out = os.path.join(CORPUS_ROOT, sf_name)
-    marker = os.path.join(out, f".complete-v5-{n_rows}")  # v5: TIFF+GIF rows (i%16 in {12,13})
+    synth_only = bool(os.environ.get("GRAFT_SYNTH_CORPUS"))
+    dir_name = f"synth-{sf_name}" if synth_only else sf_name
+    out = os.path.join(CORPUS_ROOT, dir_name)
+    marker = os.path.join(out, f".complete-v6-{n_rows}")  # v6: TIFF/GIF/WebP-VP8L rows (i%16 in {12,13,14})
     if not os.path.exists(marker):
-        generate_pages(out, n_rows)
+        generate_pages(out, n_rows, include_fixtures=not synth_only)
         with open(marker, "w") as f:
             f.write(str(n_rows))
     return out

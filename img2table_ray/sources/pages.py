@@ -102,7 +102,8 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     and the size-aware skew routing); i % 16 == 11 -> a baseline-JPEG page
     (web crawls are mostly JPEG; exercises the JPEG decode path in every
     run); i % 16 == 12 -> TIFF (LZW + predictor, strip layout); i % 16 ==
-    13 -> GIF; else a UNIQUE synthetic grid PNG.  A minority slice gets
+    13 -> GIF; i % 16 == 14 -> WebP lossless (VP8L, subtract-green +
+    LZ77); else a UNIQUE synthetic grid PNG.  A minority slice gets
     lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
@@ -149,6 +150,13 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
             from img2table_ray.imgops.gif import encode_gif
 
             return (f"gif{shape[0]}x{shape[1]}", encode_gif(g), [(0, hocr)])
+        if i % 16 == 14:
+            from img2table_ray.imgops.webp import encode_webp_lossless
+
+            return (f"webp{shape[0]}x{shape[1]}",
+                    encode_webp_lossless(g, subtract_green=True,
+                                         run_lz77=True),
+                    [(0, hocr)])
         return (f"synth{shape[0]}x{shape[1]}", encode_png(g), [(0, hocr)])
 
     # clear any previous layout (a sharding change must not leave stale

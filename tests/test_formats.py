@@ -167,20 +167,24 @@ def test_gif_transparency_renders_white():
 
 def test_decode_image_dispatch_and_sniff():
     from img2table_ray.extract.pdf import sniff_kind
-    from img2table_ray.imgops.png import PngError, decode_image
+    from img2table_ray.imgops.png import decode_image
+    from img2table_ray.imgops.webp import WebpError, encode_webp_lossless
 
     g = np.full((8, 9), 200, np.uint8)
     tif = encode_tiff(g, compression="lzw")
     gif = encode_gif(g)
-    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "
+    webp = encode_webp_lossless(g)
+    lossy = b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
     assert sniff_kind(tif[:16]) == "tiff"
     assert sniff_kind(gif[:16]) == "gif"
     assert sniff_kind(webp[:16]) == "webp"
+    assert sniff_kind(lossy[:16]) == "webp"
     exp = np.repeat(g[:, :, None], 3, axis=2)
     assert np.array_equal(decode_image(tif), exp)
     assert np.array_equal(decode_image(gif), exp)
-    with pytest.raises(PngError, match="WebP"):
-        decode_image(webp)
+    assert np.array_equal(decode_image(webp), exp)
+    with pytest.raises(WebpError, match="lossy"):
+        decode_image(lossy)
 
 
 def test_formats_flow_through_job_with_error_accounting(ray_session, tmp_path):
@@ -195,11 +199,14 @@ def test_formats_flow_through_job_with_error_accounting(ray_session, tmp_path):
     from img2table_ray.pipelines.extraction import run_extraction_job
     from img2table_ray.sources.pages import _EPOCH, synth_table_image
 
+    from img2table_ray.imgops.webp import encode_webp_lossless
+
     g, _ = synth_table_image(3, 3, 5)
     docs = [
         ("tiff", encode_tiff(g, compression="lzw", predictor=True,
                              rows_per_strip=64)),
         ("gif", encode_gif(g)),
+        ("webpl", encode_webp_lossless(g, subtract_green=True)),
         ("webp", b"RIFF\x00\x01\x00\x00WEBPVP8 " + b"\x00" * 64),
     ]
     corpus = tmp_path / "corpus"
@@ -222,10 +229,9 @@ def test_formats_flow_through_job_with_error_accounting(ray_session, tmp_path):
     by_url = {}
     for r in got:
         by_url.setdefault(r["url"].split("/")[3], []).append(r)
-    assert all(r["status"] == "ok" for r in by_url["tiff"])
-    assert all(r["status"] == "ok" for r in by_url["gif"])
-    assert by_url["tiff"][0]["nb_rows"] == 3
-    assert by_url["gif"][0]["nb_rows"] == 3
+    for kind in ("tiff", "gif", "webpl"):
+        assert all(r["status"] == "ok" for r in by_url[kind]), kind
+        assert by_url[kind][0]["nb_rows"] == 3, kind
     assert by_url["webp"][0]["status"] == "error"
 
     with open(f"{out_dir}/manifest/0.json") as f:
