@@ -21,8 +21,9 @@ successive-approximation scans per ITU T.81 §G.2, with the AC-refinement
 control flow mirroring libjpeg's jdphuff.c; verified by transcoding a
 baseline image's quantized coefficients into multi-scan progressive
 streams (including refinement scans) and requiring bit-identical pixels.
-Unsupported (explicit errors, not wrong pixels): arithmetic coding,
-12-bit precision, CMYK/4-component.
+4-component Adobe JPEGs (CMYK, and YCCK via APP14 transform=2) composite
+to RGB with cv2's CMYK2BGR formula.  Unsupported (explicit errors, not
+wrong pixels): arithmetic coding, 12-bit precision.
 
 The encoder is a plain baseline writer (standard Annex-K tables scaled by
 quality, 4:2:0) used by tests for roundtrip checks and by pipelines that
@@ -183,7 +184,7 @@ def _decode_frame(data: bytes):
             progressive = m == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise JpegError(f"unsupported component count {nc}")
             comps = []
             for c in range(nc):
@@ -263,13 +264,19 @@ def _decode_frame(data: bytes):
         for c in comps:
             c.coefs = np.array(c.pcoef, dtype=np.int32).reshape(-1, 64)
             del c.pcoef
-    # 3-component color space: YCbCr unless Adobe APP14 says transform=0 or
-    # the component ids literally spell R,G,B (libjpeg jdcolor heuristics)
-    is_rgb = False
-    if len(comps) == 3:
+    # color space (libjpeg jdcolor default_decompress_parms heuristics):
+    # 3 comp: YCbCr unless Adobe APP14 transform=0 or the ids spell R,G,B;
+    # 4 comp: CMYK without an Adobe marker or with transform=0, YCCK for
+    # transform=2 (and, like libjpeg, for any other nonzero transform)
+    if len(comps) == 1:
+        mode = "gray"
+    elif len(comps) == 3:
         cids = tuple(c.cid for c in comps)
-        is_rgb = adobe_transform == 0 or cids == (0x52, 0x47, 0x42)
-    return width, height, comps, qt, is_rgb
+        mode = ("rgb" if adobe_transform == 0 or cids == (0x52, 0x47, 0x42)
+                else "ycc")
+    else:
+        mode = "ycck" if adobe_transform not in (None, 0) else "cmyk"
+    return width, height, comps, qt, mode
 
 
 def _progressive_scan(width, height, comps, huff, scan_sel, ss, se, ah, al,
@@ -1046,11 +1053,31 @@ def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
+def _cmyk_to_rgb(c: np.ndarray, m: np.ndarray, y: np.ndarray,
+                 k: np.ndarray) -> np.ndarray:
+    """cv2's CMYK composite (icvCvt_CMYK2BGR_8u_C4C3R, utils.cpp) on
+    Adobe-inverted CMYK planes: ch = k - ((255 - ch) * k >> 8)."""
+    k32 = k.astype(np.int32)
+    out = [k32 - (((255 - p.astype(np.int32)) * k32) >> 8)
+           for p in (c, m, y)]
+    return np.stack(out, axis=2).astype(np.uint8)
+
+
+def _ycck_to_cmyk(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """libjpeg jdcolor ycck_cmyk_convert: inverted YCbCr->RGB (K passes
+    through unchanged by the caller)."""
+    y32 = y.astype(np.int32)
+    c = 255 - np.clip(y32 + _CR_R[cr], 0, 255)
+    m = 255 - np.clip(y32 + ((_CB_G[cb] + _CR_G[cr]) >> _SCALE), 0, 255)
+    yy = 255 - np.clip(y32 + _CB_B[cb], 0, 255)
+    return c, m, yy
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline or progressive JPEG bytes -> (H, W, 3) uint8 RGB
-    array (grayscale JPEGs are replicated to 3 channels, matching cv2
-    IMREAD_COLOR)."""
-    width, height, comps, qt, is_rgb = _decode_frame(data)
+    array (grayscale JPEGs are replicated to 3 channels; CMYK/YCCK Adobe
+    JPEGs composited per cv2's CMYK2BGR — matching cv2 IMREAD_COLOR)."""
+    width, height, comps, qt, mode = _decode_frame(data)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -1066,8 +1093,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes.append(_upsample(plane, hmax // c.h, vmax // c.v, width, height))
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
-    if is_rgb:  # 3-component RGB JPEG: planes ARE the channels
+    if mode == "rgb":  # 3-component RGB JPEG: planes ARE the channels
         return np.stack(planes, axis=2)
+    if mode == "ycck":
+        c, m, yy = _ycck_to_cmyk(planes[0], planes[1], planes[2])
+        return _cmyk_to_rgb(c, m, yy, planes[3])
+    if mode == "cmyk":
+        return _cmyk_to_rgb(planes[0], planes[1], planes[2], planes[3])
     return _ycc_to_rgb(planes[0], planes[1], planes[2])
 
 
@@ -1191,18 +1223,41 @@ def _encode_plane_blocks(plane: np.ndarray) -> np.ndarray:
             .astype(np.float64) - 128.0), ph // 8, pw // 8
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                ycck: bool = False) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) gray uint8 -> baseline JFIF bytes
-    (4:2:0 for color).  Test/sink utility — decode parity is the decoder's
-    job, not this writer's."""
+    (4:2:0 for color).  A (H, W, 4) input is treated as Adobe-inverted
+    CMYK planes and written as a 4-component Adobe JPEG (APP14 transform
+    0, or 2 with ``ycck=True`` — CMY stored as inverted YCbCr).
+    Test/sink utility — decode parity is the decoder's job, not this
+    writer's."""
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     ql = _scale_q(_STD_LUMA_Q, quality)
     qc = _scale_q(_STD_CHROMA_Q, quality)
 
+    adobe_transform = None
     if gray:
         y = img.astype(np.float64)
         planes = [(y, ql, 1, 1)]
+    elif cmyk:
+        chans = [img[:, :, i].astype(np.float64) for i in range(4)]
+        if ycck:
+            adobe_transform = 2
+            # libjpeg jccolor cmyk->ycck: YCbCr of the inverted CMY
+            # planes (decoder inverts back: c = 255 - (Y + crr(Cr)))
+            ir, ig, ib = (255.0 - chans[0], 255.0 - chans[1],
+                          255.0 - chans[2])
+            yy = 0.299 * ir + 0.587 * ig + 0.114 * ib
+            cb = -0.168735892 * ir - 0.331264108 * ig + 0.5 * ib + 128.0
+            cr = 0.5 * ir - 0.418687589 * ig - 0.081312411 * ib + 128.0
+            stored = [yy, cb, cr, chans[3]]
+        else:
+            adobe_transform = 0
+            stored = chans
+        planes = [(p, ql if i == 0 else qc, 1, 1)
+                  for i, p in enumerate(stored)]
     else:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
@@ -1291,6 +1346,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if adobe_transform is not None:  # APP14: 'Adobe', ver, flags0/1, transform
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0,
+                                           adobe_transform]))
     zql = np.zeros(64, dtype=np.uint8)
     zql[:] = ql.reshape(-1)[ZIGZAG]
     out += seg(0xDB, b"\x00" + zql.tobytes())
@@ -1487,7 +1545,7 @@ def transcode_to_progressive(data: bytes, al: int = 1) -> bytes:
     decode_jpeg(data) — the correctness harness for the progressive
     decoder (encoder implemented from T.81 §G.1.2 / jcphuff.c; decoder
     from §G.2 / jdphuff.c)."""
-    width, height, comps, qt, is_rgb = _decode_frame(data)
+    width, height, comps, qt, _mode = _decode_frame(data)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     mcus_x = -(-width // (8 * hmax))

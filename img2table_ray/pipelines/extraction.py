@@ -157,13 +157,23 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
         if lookup:
             words_ref = ray.put(lookup)
 
-    # shared cross-actor memo cache (replicated web documents extract once
-    # per cluster, not once per actor), sharded so cache RPCs never
-    # serialize behind one actor — see state/cache.py
-    from img2table_ray.state.cache import CacheClient
+    # Shared cross-worker memo cache: OPT-IN (GRAFT_SHARED_CACHE=1).
+    # Measured on the main corpus (3/8 replicated documents): the
+    # synchronous claim/get RPCs through the 4 shard actors are an Amdahl
+    # serial section — invisible at 8 CPUs (49 s either way) but the
+    # dominant cost at 32 (22.8 s with vs 14.4 s without; scaling
+    # efficiency 0.54 -> 0.85).  Per-WORKER memoization already collapses
+    # replicated documents after one extraction each, and the real
+    # at-scale answer to heavy replication is an exact-dedup PRE-PASS on
+    # content hash (pipelines/dedup.py) rather than a live shared index —
+    # see state/cache.py's docstring.  The cache stays available for
+    # corpora where per-document cost is so high that cross-worker
+    # first-extraction dedup pays for the RPC serialization.
+    cache_handle = None
+    if os.environ.get("GRAFT_SHARED_CACHE"):
+        from img2table_ray.state.cache import CacheClient
 
-    cache_handle = (None if os.environ.get("GRAFT_NO_SHARED_CACHE")
-                    else CacheClient(num_shards=4))
+        cache_handle = CacheClient(num_shards=4)
 
     # Task pool, not an actor pool: per-process state (malloc tuning,
     # broadcast words, memo caches) lives in a module-level instance keyed

@@ -193,7 +193,14 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
                 "lang": pa.array(lang, pa.string()),
             }
         )
-        pq.write_table(pages, f"{out_dir}/pages/part-{file_idx:05d}.parquet")
+        # small row groups: Ray Data splits parquet reads at ROW-GROUP
+        # granularity, and the downstream fused map chain inherits the
+        # read's block count — one row group per shard would cap the whole
+        # extraction at n_shards-way parallelism (measured: 16 blocks left
+        # half of a 32-CPU session idle).  48 rows/group -> 8 blocks per
+        # 384-row shard, with shard files still the unit of resume.
+        pq.write_table(pages, f"{out_dir}/pages/part-{file_idx:05d}.parquet",
+                       row_group_size=48)
         words = pa.table(
             {"url": pa.array(wurls, pa.string()),
              "page": pa.array(wpages, pa.int32()),

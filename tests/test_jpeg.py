@@ -203,3 +203,40 @@ def test_vectorized_scalar_entropy_parity(monkeypatch):
         got_scal = decode_jpeg(data)
         monkeypatch.undo()
         assert np.array_equal(got_vec, got_scal)
+
+
+def test_cmyk_and_ycck_adobe():
+    """4-component Adobe JPEGs composite with cv2's CMYK2BGR formula
+    (icvCvt_CMYK2BGR_8u_C4C3R): ch = k - ((255-ch)*k >> 8) on the
+    Adobe-inverted planes; YCCK (APP14 transform=2) first inverts the
+    YCbCr planes (libjpeg jdcolor ycck_cmyk_convert).  Quality-100 flat
+    8x8 tiles recover the stored planes exactly, so the expected image is
+    computable independently of the decoder."""
+
+    def composite(cmyk):
+        c, m, y, k = [cmyk[:, :, i].astype(np.int32) for i in range(4)]
+        return np.stack([k - (((255 - p) * k) >> 8) for p in (c, m, y)],
+                        axis=2).astype(np.uint8)
+
+    cmyk = np.zeros((16, 24, 4), np.uint8)
+    vals = [(255, 255, 255, 255), (0, 255, 255, 255), (255, 255, 255, 0),
+            (90, 180, 30, 200), (10, 20, 250, 128), (200, 100, 50, 255)]
+    t = 0
+    for by in range(2):
+        for bx in range(3):
+            cmyk[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = vals[t]
+            t += 1
+    exp = composite(cmyk)
+
+    enc = encode_jpeg(cmyk, quality=100)
+    assert np.array_equal(decode_jpeg(enc), exp)
+
+    # YCCK: float forward + integer-LUT inverse -> within 1
+    got = decode_jpeg(encode_jpeg(cmyk, quality=100, ycck=True))
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 1
+
+    # a 4-component frame without an Adobe marker defaults to CMYK
+    i = enc.find(b"Adobe") - 4
+    stripped = enc[:i] + enc[i + 16:]
+    assert b"Adobe" not in stripped
+    assert np.array_equal(decode_jpeg(stripped), exp)

@@ -181,6 +181,22 @@ def test_words_hash_join_matches_broadcast(ray_session, corpus):
     pd.testing.assert_frame_equal(a[cols], b[cols])
 
 
+def test_shared_cache_opt_in_matches_default(ray_session, corpus, monkeypatch):
+    """The opt-in cross-worker extraction cache (GRAFT_SHARED_CACHE=1;
+    single-flight claim/publish through sharded actors) must not change
+    output — it only dedups first extractions of replicated documents."""
+    from img2table_ray.pipelines.extraction import extract_pages
+
+    key = ["url", "page", "table_idx"]
+    cols = key + ["extracted_text", "status"]
+    a = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    monkeypatch.setenv("GRAFT_SHARED_CACHE", "1")
+    b = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
 def test_multimodal_stages(ray_session, corpus):
     """Image feature stage is real (decode + stats); audio stage is a
     clearly-marked stub whose plumbing (schema, batching, actor signature)
