@@ -2,12 +2,14 @@
 
 Decode covers the crawl-relevant baseline: both byte orders, strip
 organization (chunky and planar), compressions None / PackBits / LZW /
-Deflate (8 and the old 32946), photometric WhiteIsZero / BlackIsZero /
-RGB / Palette, 8-bit samples plus 1-bit bilevel, horizontal-differencing
-predictor, extra samples (alpha) dropped.  Tiled layout, CCITT fax
-compressions, JPEG-in-TIFF, 16-bit and planar-sub-sampled exotics raise
-``TiffError`` — those rows become counted error records upstream, never
-task failures.
+Deflate (8 and the old 32946) plus CCITT fax for bilevel strips
+(Modified Huffman =2, Group 3 1-D =3, Group 4 MMR =4 via imgops/g4.py),
+photometric WhiteIsZero / BlackIsZero / RGB / Palette, 8-bit samples
+plus 1-bit bilevel, horizontal-differencing predictor, extra samples
+(alpha) dropped.  Tiled layout, G3-2-D/uncompressed fax extensions,
+JPEG-in-TIFF, 16-bit and planar-sub-sampled exotics raise ``TiffError``
+— those rows become counted error records upstream, never task
+failures.
 
 The reference accepts TIFF implicitly through cv2.imdecode
 (/root/reference/src/img2table/document/image.py:25-32, libtiff under
@@ -283,8 +285,33 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return np.concatenate(rows, axis=0)
 
     if depth == 1:
-        packed = read_plane(0)
-        bits_arr = np.unpackbits(packed, axis=1)[:, :width]
+        if compression in (2, 3, 4):
+            # CCITT fax strips decode straight to pixel rows (T.4/T.6)
+            from img2table_ray.imgops.g4 import (
+                FaxError,
+                g3_1d_decode,
+                g4_decode,
+                mh_decode,
+            )
+
+            if compression == 3 and (one(292, default=0) & 0b11):
+                raise TiffError("G3 2-D / uncompressed extension "
+                                "unsupported")
+            if compression == 4 and (one(293, default=0) & 0b10):
+                raise TiffError("G4 uncompressed extension unsupported")
+            dec = {2: mh_decode, 3: g3_1d_decode, 4: g4_decode}[compression]
+            rows = []
+            for s in range(strips_per_plane):
+                off, cnt = offsets[s], counts[s]
+                n_rows = min(rows_per_strip, height - s * rows_per_strip)
+                try:
+                    rows.append(dec(data[off : off + cnt], width, n_rows))
+                except FaxError as err:
+                    raise TiffError(f"bad fax strip: {err}") from err
+            bits_arr = np.concatenate(rows, axis=0)
+        else:
+            packed = read_plane(0)
+            bits_arr = np.unpackbits(packed, axis=1)[:, :width]
         gray = (bits_arr * np.uint8(255)) if photometric == 1 else (
             (1 - bits_arr) * np.uint8(255))
         return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
@@ -318,6 +345,34 @@ def decode_tiff(data: bytes) -> np.ndarray:
                ).astype(np.uint8)
         return lut[img[:, :, 0]]
     raise TiffError(f"unsupported PhotometricInterpretation {photometric}")
+
+
+def encode_tiff_g4(bits: np.ndarray) -> bytes:
+    """(H, W) 0/1 array (1 = black) -> minimal bilevel G4 TIFF
+    (PhotometricInterpretation=0 min-is-white, one strip)."""
+    from img2table_ray.imgops.g4 import g4_encode
+
+    h, w = bits.shape
+    payload = g4_encode(np.asarray(bits, np.uint8))
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
+        (259, 3, 1, [4]), (262, 3, 1, [0]), (273, 4, 1, [None]),
+        (277, 3, 1, [1]), (278, 4, 1, [h]), (279, 4, 1, [len(payload)]),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, ftype, count, vals in entries:
+        v = data_off if tag == 273 else vals[0]
+        fmt = "<I" if ftype == 4 else "<HH"
+        packed = (struct.pack("<I", v) if ftype == 4
+                  else struct.pack("<HH", v, 0))
+        out += struct.pack("<HHI", tag, ftype, count) + packed
+    out += struct.pack("<I", 0)
+    assert len(out) == data_off
+    out += payload
+    return bytes(out)
 
 
 # ---- encode (tests + thumbnail sink) ------------------------------------

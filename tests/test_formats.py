@@ -238,3 +238,64 @@ def test_formats_flow_through_job_with_error_accounting(ray_session, tmp_path):
         man = json.load(f)
     assert man["n_errors"] == 1
     assert man["errors_by_format"] == {"webp": 1}
+
+
+# ---- CCITT fax (T.4 / T.6) ----------------------------------------------
+
+def test_fax_tables_prefix_free_and_sized():
+    # importing g4 runs the prefix-freeness canary over both tables; a
+    # single transcription typo in any T.4 code makes some pair
+    # prefix-ambiguous with overwhelming likelihood
+    from img2table_ray.imgops.g4 import _BLACK_DEC, _WHITE_DEC
+
+    # 64 terminating + 27 make-up + 13 extended per color
+    assert len(_WHITE_DEC) == 104
+    assert len(_BLACK_DEC) == 104
+
+
+def test_g4_and_mh_roundtrips():
+    from img2table_ray.imgops.g4 import (
+        g4_decode,
+        g4_encode,
+        mh_decode,
+        mh_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    t = np.zeros((60, 200), np.uint8)
+    t[10:12] = 1
+    t[:, 50:53] = 1
+    t[30:40, 100:180] = 1
+    imgs = [
+        np.zeros((4, 8), np.uint8),
+        np.ones((3, 5), np.uint8),
+        (rng.random((40, 73)) < 0.3).astype(np.uint8),
+        (rng.random((8, 2000)) < 0.01).astype(np.uint8),  # make-up codes
+        (rng.random((5, 3000)) < 0.99).astype(np.uint8),
+        t,
+    ]
+    for k, im in enumerate(imgs):
+        h, w = im.shape
+        assert np.array_equal(g4_decode(g4_encode(im), w, h), im), k
+        assert np.array_equal(
+            g4_decode(g4_encode(im, with_eofb=False), w, h), im), k
+        assert np.array_equal(mh_decode(mh_encode(im), w, h), im), k
+
+
+def test_g4_hand_vector_all_white():
+    # an all-white row is a single V0 bit: 2 rows -> '11' -> 0xC0 padded
+    from img2table_ray.imgops.g4 import g4_encode
+
+    assert g4_encode(np.zeros((2, 4), np.uint8), with_eofb=False) == b"\xc0"
+
+
+def test_g4_tiff_through_dispatch():
+    from img2table_ray.imgops.png import decode_image
+    from img2table_ray.imgops.tiff import encode_tiff_g4
+
+    rng = np.random.default_rng(3)
+    bits = (rng.random((50, 81)) < 0.2).astype(np.uint8)
+    tif = encode_tiff_g4(bits)
+    exp = np.repeat(((1 - bits) * 255).astype(np.uint8)[:, :, None], 3,
+                    axis=2)
+    assert np.array_equal(decode_image(tif), exp)
