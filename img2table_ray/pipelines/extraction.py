@@ -146,12 +146,24 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     words_ref = None
     if words_dir is not None and join_words:
         words_ds = ray.data.read_parquet(words_dir)
-        # modest partition count + fractional-CPU aggregators so the join
-        # coexists with the fixed extraction pool on small sessions
-        n_join_parts = max(2, actor_concurrency() // 2)
+        # The join's output partition count IS the downstream extraction's
+        # block count (one map task per block), so its sizing has two
+        # opposing failure modes (all measured at sf0.1 / 32 CPUs):
+        # 12 partitions starve the extractor (12-way on 32 slots, 53 s);
+        # 64 partitions thrash the shuffle aggregators (125 s).  Keep the
+        # SHUFFLE narrow (cheap aggregators) and recover extraction
+        # parallelism with a shuffle-free block SPLIT afterwards:
+        # 16-part join + repartition(4x CPUs, shuffle=False) runs 27 s
+        # vs 17 s for the broadcast path.
+        try:
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            n_cpus = 8
+        n_join_parts = max(4, actor_concurrency() // 2)
         ds = ds.join(words_ds, join_type="left_outer",
                      num_partitions=n_join_parts, on=("url", "page"),
                      aggregator_ray_remote_args={"num_cpus": 0.25})
+        ds = ds.repartition(4 * n_cpus, shuffle=False)
     elif words_dir is not None:
         lookup = load_words_lookup(words_dir)
         if lookup:
