@@ -1,9 +1,11 @@
 """CCITT Group 3/4 fax codecs (ITU-T T.4 / T.6) for bilevel TIFF strips.
 
-Implements Modified Huffman 1-D RLE (TIFF Compression=2) and Group 4
-MMR 2-D coding (Compression=4) — the formats scanned-document TIFFs in
-web crawls actually use.  Group 3 with EOLs (Compression=3) is decoded
-in its 1-D form; 2-D-extension G3 raises.
+Implements Modified Huffman 1-D RLE (TIFF Compression=2), Group 4
+MMR 2-D coding (Compression=4), and Group 3 with EOLs (Compression=3)
+in both its 1-D and 2-D (T4Options bit 0) forms — the formats
+scanned-document TIFFs in web crawls actually use.  G3 2-D lines are
+tagged after each EOL (1 = 1-D coded, 0 = 2-D coded vs the previous
+line); the 2-D line coder itself is T.6's, shared via _decode_2d_row.
 
 The run-length code tables are transcribed from T.4 §2 (white/black
 terminating + make-up codes, shared extended make-ups).  Both tables are
@@ -256,70 +258,126 @@ _G4_MODES = {
 }
 
 
+def _decode_2d_row(br: _Bits, ref: list[int], width: int) -> list[int] | None:
+    """One 2-D-coded line (shared by T.6 G4 and T.4 G3-2-D): returns the
+    line's changing elements, or None when the stream ends (EOFB prefix /
+    padding / exhaustion) instead of a mode code."""
+    cur: list[int] = []
+    a0 = -1
+    white = True
+    while a0 < width:
+        # b1: first ref change > a0 with color opposite the current
+        # color.  ref[i] starts a black run iff i is even (lines
+        # notionally start white).
+        b1 = width
+        b2 = width
+        for i, p in enumerate(ref):
+            if p > a0 and ((i % 2 == 0) == white):
+                b1 = p
+                b2 = ref[i + 1] if i + 1 < len(ref) else width
+                break
+
+        s = ""
+        mode = None
+        while len(s) < 7:
+            if br.eof():
+                return None  # stream ends exactly at last row's end
+            s += "1" if br.read1() else "0"
+            m = _G4_MODES.get(s)
+            if m is not None:
+                mode = m
+                break
+        if mode is None:
+            if s == "0000000":
+                return None  # EOFB / next EOL / zero padding
+            raise FaxError(f"bad 2-D fax mode code {s}")
+
+        kind, d = mode
+        if kind == "p":
+            a0 = b2  # run of the current color continues past b2
+        elif kind == "h":
+            r1 = _read_run(br, white)
+            r2 = _read_run(br, not white)
+            start = max(a0, 0)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise FaxError("fax horizontal run overruns row")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:
+            a1 = b1 + d
+            if a1 < 0 or a1 > width or a1 <= a0:
+                raise FaxError("fax vertical offset out of range")
+            cur.append(a1)
+            a0 = a1
+            white = not white
+    return cur
+
+
+def _paint(img: np.ndarray, y: int, cur: list[int], width: int) -> None:
+    for i in range(0, len(cur), 2):
+        start = cur[i]
+        end = cur[i + 1] if i + 1 < len(cur) else width
+        img[y, start:end] = 1
+
+
 def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     br = _Bits(data)
     img = np.zeros((height, width), np.uint8)
     ref: list[int] = []  # changing elements of reference line
     for y in range(height):
-        cur: list[int] = []
-        a0 = -1
-        white = True
-        while a0 < width:
-            # b1: first ref change > a0 with color opposite the current
-            # color.  ref[i] starts a black run iff i is even (lines
-            # notionally start white).
-            b1 = width
-            b2 = width
-            for i, p in enumerate(ref):
-                if p > a0 and ((i % 2 == 0) == white):
-                    b1 = p
-                    b2 = ref[i + 1] if i + 1 < len(ref) else width
-                    break
-
-            s = ""
-            mode = None
-            while len(s) < 7:
-                if br.eof():
-                    return img  # stream ends exactly at last row's end
-                s += "1" if br.read1() else "0"
-                m = _G4_MODES.get(s)
-                if m is not None:
-                    mode = m
-                    break
-            if mode is None:
-                if s == "0000000":
-                    # EOFB (two EOLs) or zero padding: consume and stop
-                    return img
-                raise FaxError(f"bad G4 mode code {s}")
-
-            kind, d = mode
-            if kind == "p":
-                a0 = b2  # run of the current color continues past b2
-            elif kind == "h":
-                r1 = _read_run(br, white)
-                r2 = _read_run(br, not white)
-                start = max(a0, 0)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    raise FaxError("G4 horizontal run overruns row")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:
-                a1 = b1 + d
-                if a1 < 0 or a1 > width or a1 <= a0:
-                    raise FaxError("G4 vertical offset out of range")
-                cur.append(a1)
-                a0 = a1
-                white = not white
-        # paint the row from its changing elements
-        for i in range(0, len(cur), 2):
-            start = cur[i]
-            end = cur[i + 1] if i + 1 < len(cur) else width
-            img[y, start:end] = 1
+        cur = _decode_2d_row(br, ref, width)
+        if cur is None:
+            return img
+        _paint(img, y, cur, width)
         ref = [p for p in cur if p < width]
     return img
+
+
+def _encode_2d_row(bits: list[str], cur: list[int], ref: list[int],
+                   width: int) -> None:
+    """Emit one 2-D-coded line (T.6 modes; also used for T.4 2-D lines)."""
+    a0 = -1
+    white = True
+    while a0 < width:
+        b1 = width
+        b2 = width
+        for i, p in enumerate(ref):
+            if p > a0 and ((i % 2 == 0) == white):
+                b1 = p
+                b2 = ref[i + 1] if i + 1 < len(ref) else width
+                break
+        # a1: next change in current line after a0 (of opposite color
+        # by construction)
+        a1 = width
+        for p in cur:
+            if p > a0:
+                a1 = p
+                break
+        if b2 < a1:  # pass mode
+            bits.append("0001")
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:  # vertical
+            bits.append({0: "1", 1: "011", -1: "010", 2: "000011",
+                         -2: "000010", 3: "0000011", -3: "0000010"}[d])
+            a0 = a1
+            white = not white
+            continue
+        # horizontal
+        a2 = width
+        for p in cur:
+            if p > a1:
+                a2 = p
+                break
+        start = max(a0, 0)
+        bits.append("001")
+        _emit_run(bits, a1 - start, white)
+        _emit_run(bits, a2 - a1, not white)
+        a0 = a2
 
 
 def g4_encode(img: np.ndarray, with_eofb: bool = True) -> bytes:
@@ -329,45 +387,7 @@ def g4_encode(img: np.ndarray, with_eofb: bool = True) -> bytes:
     ref: list[int] = []
     for y in range(height):
         cur = _changes_of(img[y])
-        a0 = -1
-        white = True
-        while a0 < width:
-            b1 = width
-            b2 = width
-            for i, p in enumerate(ref):
-                if p > a0 and ((i % 2 == 0) == white):
-                    b1 = p
-                    b2 = ref[i + 1] if i + 1 < len(ref) else width
-                    break
-            # a1: next change in current line after a0 (of opposite color
-            # by construction)
-            a1 = width
-            for p in cur:
-                if p > a0:
-                    a1 = p
-                    break
-            if b2 < a1:  # pass mode
-                bits.append("0001")
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:  # vertical
-                bits.append({0: "1", 1: "011", -1: "010", 2: "000011",
-                             -2: "000010", 3: "0000011", -3: "0000010"}[d])
-                a0 = a1
-                white = not white
-                continue
-            # horizontal
-            a2 = width
-            for p in cur:
-                if p > a1:
-                    a2 = p
-                    break
-            start = max(a0, 0)
-            bits.append("001")
-            _emit_run(bits, a1 - start, white)
-            _emit_run(bits, a2 - a1, not white)
-            a0 = a2
+        _encode_2d_row(bits, cur, ref, width)
         ref = cur
     if with_eofb:
         bits.append(_EOL + _EOL)
@@ -377,34 +397,102 @@ def g4_encode(img: np.ndarray, with_eofb: bool = True) -> bytes:
         np.frombuffer(s.encode(), np.uint8) - ord("0")).tobytes()
 
 
-# ---- Group 3 1-D with EOLs (TIFF Compression=3, T4Options bit1=0) -------
+# ---- Group 3 with EOLs (TIFF Compression=3) ------------------------------
+
+def _skip_eol(br: _Bits) -> None:
+    # EOL = 11 zeros minimum then a 1 (fill bits extend the zeros)
+    zeros = 0
+    while True:
+        b = br.read1()
+        if b:
+            if zeros >= 11:
+                return
+            raise FaxError("expected G3 EOL")
+        zeros += 1
+
+
+def _decode_1d_row(br: _Bits, width: int) -> list[int]:
+    """One 1-D-coded line as changing elements (even index = black
+    start, matching the 2-D reference-line convention)."""
+    ch: list[int] = []
+    pos = 0
+    white = True
+    while pos < width:
+        run = _read_run(br, white)
+        if run == 0 and not (pos == 0 and white):
+            # only the leading white run may be zero-length (a row that
+            # starts black); elsewhere a zero run would stall the stream
+            raise FaxError("zero-length fax run mid-line")
+        if pos + run > width:
+            raise FaxError("G3 run overruns row")
+        pos += run
+        white = not white
+        if pos < width:
+            ch.append(pos)
+    return ch
+
 
 def g3_1d_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """T.4 1-D with EOL codes before each line (fill bits tolerated)."""
     br = _Bits(data)
-
-    def skip_eol() -> None:
-        # EOL = 11 zeros minimum then a 1 (fill bits extend the zeros)
-        zeros = 0
-        while True:
-            b = br.read1()
-            if b:
-                if zeros >= 11:
-                    return
-                raise FaxError("expected G3 EOL")
-            zeros += 1
-
     img = np.zeros((height, width), np.uint8)
     for y in range(height):
-        skip_eol()
-        pos = 0
-        white = True
-        while pos < width:
-            run = _read_run(br, white)
-            if pos + run > width:
-                raise FaxError("G3 run overruns row")
-            if not white:
-                img[y, pos : pos + run] = 1
-            pos += run
-            white = not white
+        _skip_eol(br)
+        _paint(img, y, _decode_1d_row(br, width), width)
     return img
+
+
+# ---- Group 3 2-D (T.4 §4.2.1, TIFF Compression=3 + T4Options bit 0) ------
+
+def g3_2d_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """T.4 2-D: every line is preceded by EOL plus a tag bit — 1 means
+    the line is 1-D coded, 0 means 2-D coded against the previous line
+    (using T.6's vertical/horizontal/pass modes).  The first line of a
+    strip is 1-D by construction (its tag must be 1)."""
+    br = _Bits(data)
+    img = np.zeros((height, width), np.uint8)
+    ref: list[int] = []
+    for y in range(height):
+        _skip_eol(br)
+        tag = br.read1()
+        if tag:
+            cur: list[int] | None = _decode_1d_row(br, width)
+        else:
+            if y == 0:
+                raise FaxError("G3 2-D strip must start with a 1-D line")
+            cur = _decode_2d_row(br, ref, width)
+            if cur is None:
+                return img  # stream ended early (RTC / padding)
+        _paint(img, y, cur, width)
+        ref = [p for p in cur if p < width]
+    return img
+
+
+def _emit_1d_row(bits: list[str], ch: list[int], width: int) -> None:
+    bounds = [0] + ch + [width]
+    white = True
+    for i in range(len(bounds) - 1):
+        _emit_run(bits, bounds[i + 1] - bounds[i], white)
+        white = not white
+
+
+def g3_2d_encode(img: np.ndarray, k: int = 4) -> bytes:
+    """T.4 2-D encoder: a 1-D line every k lines (the fax K factor),
+    2-D lines in between.  No RTC — TIFF strips end at the row count."""
+    img = np.asarray(img, np.uint8)
+    height, width = img.shape
+    bits: list[str] = []
+    ref: list[int] = []
+    for y in range(height):
+        cur = _changes_of(img[y])
+        if y % k == 0:
+            bits.append(_EOL + "1")
+            _emit_1d_row(bits, cur, width)
+        else:
+            bits.append(_EOL + "0")
+            _encode_2d_row(bits, cur, ref, width)
+        ref = cur
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return np.packbits(
+        np.frombuffer(s.encode(), np.uint8) - ord("0")).tobytes()

@@ -290,16 +290,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
             from img2table_ray.imgops.g4 import (
                 FaxError,
                 g3_1d_decode,
+                g3_2d_decode,
                 g4_decode,
                 mh_decode,
             )
 
-            if compression == 3 and (one(292, default=0) & 0b11):
-                raise TiffError("G3 2-D / uncompressed extension "
-                                "unsupported")
+            t4opts = one(292, default=0)
+            if compression == 3 and (t4opts & 0b10):
+                raise TiffError("G3 uncompressed extension unsupported")
             if compression == 4 and (one(293, default=0) & 0b10):
                 raise TiffError("G4 uncompressed extension unsupported")
             dec = {2: mh_decode, 3: g3_1d_decode, 4: g4_decode}[compression]
+            if compression == 3 and (t4opts & 0b1):
+                dec = g3_2d_decode  # T.4 2-D extension (tagged lines)
             rows = []
             for s in range(strips_per_plane):
                 off, cnt = offsets[s], counts[s]
@@ -347,18 +350,22 @@ def decode_tiff(data: bytes) -> np.ndarray:
     raise TiffError(f"unsupported PhotometricInterpretation {photometric}")
 
 
-def encode_tiff_g4(bits: np.ndarray) -> bytes:
-    """(H, W) 0/1 array (1 = black) -> minimal bilevel G4 TIFF
-    (PhotometricInterpretation=0 min-is-white, one strip)."""
-    from img2table_ray.imgops.g4 import g4_encode
+def encode_tiff_g4(bits: np.ndarray, compression: int = 4) -> bytes:
+    """(H, W) 0/1 array (1 = black) -> minimal bilevel fax TIFF
+    (PhotometricInterpretation=0 min-is-white, one strip).
+    compression: 4 = G4 MMR (default), 3 = G3 2-D (T4Options=1)."""
+    from img2table_ray.imgops.g4 import g3_2d_encode, g4_encode
 
     h, w = bits.shape
-    payload = g4_encode(np.asarray(bits, np.uint8))
+    arr = np.asarray(bits, np.uint8)
+    payload = g4_encode(arr) if compression == 4 else g3_2d_encode(arr)
     entries = [
         (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [1]),
-        (259, 3, 1, [4]), (262, 3, 1, [0]), (273, 4, 1, [None]),
+        (259, 3, 1, [compression]), (262, 3, 1, [0]), (273, 4, 1, [None]),
         (277, 3, 1, [1]), (278, 4, 1, [h]), (279, 4, 1, [len(payload)]),
     ]
+    if compression == 3:
+        entries.append((292, 4, 1, [1]))  # T4Options: 2-D coding
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4
     out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))

@@ -299,3 +299,52 @@ def test_g4_tiff_through_dispatch():
     exp = np.repeat(((1 - bits) * 255).astype(np.uint8)[:, :, None], 3,
                     axis=2)
     assert np.array_equal(decode_image(tif), exp)
+
+
+def test_g3_2d_roundtrips():
+    from img2table_ray.imgops.g4 import g3_2d_decode, g3_2d_encode
+
+    rng = np.random.default_rng(29)
+    t = np.zeros((60, 200), np.uint8)
+    t[10:12] = 1
+    t[:, 50:53] = 1
+    t[30:40, 100:180] = 1
+    imgs = [
+        np.zeros((4, 8), np.uint8),
+        np.ones((3, 5), np.uint8),                       # starts black
+        (rng.random((40, 73)) < 0.3).astype(np.uint8),
+        (rng.random((8, 2000)) < 0.01).astype(np.uint8),  # make-up codes
+        (rng.random((5, 3000)) < 0.99).astype(np.uint8),
+        t,
+    ]
+    for k, im in enumerate(imgs):
+        h, w = im.shape
+        for kf in (1, 2, 4, 100):  # K factor: all-1-D through mostly-2-D
+            got = g3_2d_decode(g3_2d_encode(im, k=kf), w, h)
+            assert np.array_equal(got, im), (k, kf)
+
+
+def test_g3_2d_first_line_must_be_1d():
+    import pytest
+
+    from img2table_ray.imgops.g4 import _EOL, FaxError, g3_2d_decode
+
+    # EOL + tag 0 on line 0 is malformed
+    s = _EOL + "0" + "1"
+    s += "0" * (-len(s) % 8)
+    data = np.packbits(
+        np.frombuffer(s.encode(), np.uint8) - ord("0")).tobytes()
+    with pytest.raises(FaxError):
+        g3_2d_decode(data, 4, 1)
+
+
+def test_g3_2d_tiff_through_dispatch():
+    from img2table_ray.imgops.png import decode_image
+    from img2table_ray.imgops.tiff import encode_tiff_g4
+
+    rng = np.random.default_rng(31)
+    bits = (rng.random((50, 81)) < 0.2).astype(np.uint8)
+    tif = encode_tiff_g4(bits, compression=3)
+    exp = np.repeat(((1 - bits) * 255).astype(np.uint8)[:, :, None], 3,
+                    axis=2)
+    assert np.array_equal(decode_image(tif), exp)
