@@ -265,17 +265,18 @@ def _decode_2d_row(br: _Bits, ref: list[int], width: int) -> list[int] | None:
     cur: list[int] = []
     a0 = -1
     white = True
+    j = 0  # monotone cursor into ref (a0 never decreases)
+    nref = len(ref)
     while a0 < width:
         # b1: first ref change > a0 with color opposite the current
         # color.  ref[i] starts a black run iff i is even (lines
-        # notionally start white).
-        b1 = width
-        b2 = width
-        for i, p in enumerate(ref):
-            if p > a0 and ((i % 2 == 0) == white):
-                b1 = p
-                b2 = ref[i + 1] if i + 1 < len(ref) else width
-                break
+        # notionally start white); changes alternate, so the parity
+        # match is at j or j+1.
+        while j < nref and ref[j] <= a0:
+            j += 1
+        jj = j if (j % 2 == 0) == white else j + 1
+        b1 = ref[jj] if jj < nref else width
+        b2 = ref[jj + 1] if jj + 1 < nref else width
 
         s = ""
         mode = None
@@ -341,21 +342,21 @@ def _encode_2d_row(bits: list[str], cur: list[int], ref: list[int],
     """Emit one 2-D-coded line (T.6 modes; also used for T.4 2-D lines)."""
     a0 = -1
     white = True
+    j = 0   # monotone cursor into ref
+    ci = 0  # monotone cursor into cur (both only need entries > a0)
+    nref = len(ref)
+    ncur = len(cur)
     while a0 < width:
-        b1 = width
-        b2 = width
-        for i, p in enumerate(ref):
-            if p > a0 and ((i % 2 == 0) == white):
-                b1 = p
-                b2 = ref[i + 1] if i + 1 < len(ref) else width
-                break
+        while j < nref and ref[j] <= a0:
+            j += 1
+        jj = j if (j % 2 == 0) == white else j + 1
+        b1 = ref[jj] if jj < nref else width
+        b2 = ref[jj + 1] if jj + 1 < nref else width
         # a1: next change in current line after a0 (of opposite color
         # by construction)
-        a1 = width
-        for p in cur:
-            if p > a0:
-                a1 = p
-                break
+        while ci < ncur and cur[ci] <= a0:
+            ci += 1
+        a1 = cur[ci] if ci < ncur else width
         if b2 < a1:  # pass mode
             bits.append("0001")
             a0 = b2
@@ -368,11 +369,7 @@ def _encode_2d_row(bits: list[str], cur: list[int], ref: list[int],
             white = not white
             continue
         # horizontal
-        a2 = width
-        for p in cur:
-            if p > a1:
-                a2 = p
-                break
+        a2 = cur[ci + 1] if ci + 1 < ncur else width
         start = max(a0, 0)
         bits.append("001")
         _emit_run(bits, a1 - start, white)

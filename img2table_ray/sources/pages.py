@@ -101,7 +101,8 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     container, 3 unique pages — exercises the 1-doc -> N-page-rows explode
     and the size-aware skew routing); i % 16 == 11 -> a baseline-JPEG page
     (web crawls are mostly JPEG; exercises the JPEG decode path in every
-    run); i % 16 == 12 -> TIFF (LZW + predictor, strip layout); i % 16 ==
+    run); i % 16 == 12 -> TIFF (alternating LZW+predictor strips and
+    bilevel CCITT fax scans, G4 MMR / G3 2-D); i % 16 ==
     13 -> GIF; i % 16 == 14 -> WebP lossless (VP8L, subtract-green +
     LZ77); else a UNIQUE synthetic grid PNG.  A minority slice gets
     lang='de' for predicate-pushdown tests."""
@@ -140,8 +141,16 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
             return (f"jpeg{shape[0]}x{shape[1]}", encode_jpeg(g, quality=95),
                     [(0, hocr)])
         if i % 16 == 12:
-            from img2table_ray.imgops.tiff import encode_tiff
+            from img2table_ray.imgops.tiff import encode_tiff, encode_tiff_g4
 
+            if (i // 16) % 2:
+                # bilevel fax scan (G4 MMR / G3 2-D alternating) — the
+                # shape scanned-document TIFFs in crawls actually take
+                bits = (g < 128).astype(np.uint8)
+                comp = 4 if (i // 32) % 2 else 3
+                return (f"fax{shape[0]}x{shape[1]}",
+                        encode_tiff_g4(bits, compression=comp),
+                        [(0, hocr)])
             return (f"tiff{shape[0]}x{shape[1]}",
                     encode_tiff(g, compression="lzw", predictor=True,
                                 rows_per_strip=64),
