@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- deduplication family ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_dedup": dedup.minhash_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_near_dup": dedup.simhash_near_dup,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
+        "minhash_dedup": oracles.minhash_dedup_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_pairs_sql(),
         "embedding_dup_pairs": oracles.embedding_dup_pairs_sql(),
         "ann_topk": oracles.ann_topk_sql(),

@@ -157,6 +157,96 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+MAX_CC_ROUNDS = 16  # min-label propagation: rounds needed = component diameter
+
+
+def minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup dedup: map every doc to its cluster survivor (min doc_id).
+
+    Connected components over the MinHash-LSH candidate-pair graph via
+    iterative min-label propagation, all Ray-Data-native:
+
+    1. labels(doc_id, survivor_id=doc_id) for EVERY document (singletons
+       survive as themselves);
+    2. each round hash-joins the (directed both ways) edge set against the
+       current labels and takes ``min(survivor_id)`` per doc over
+       {self} ∪ neighbors — two shuffles over O(V+E) rows per round;
+    3. stop when the global label sum stops decreasing (labels are
+       monotonically non-increasing, so an unchanged sum == fixpoint).
+
+    The per-round ``materialize()`` is the iterative-algorithm exception to
+    the no-mid-pipeline-materialization rule: without it every round would
+    re-execute the whole lineage (shingling included) from the start.  What
+    is materialized is O(corpus rows x 16 bytes) in the OBJECT STORE (ids
+    only, never text), not on the driver.  Rounds needed = max component
+    diameter; near-dup clusters are dense (diameter ~1-2), and the cap is
+    a documented safety valve, not a tuning knob.  Oracle: recursive CTE
+    (transitive closure + min) in ``oracles.minhash_dedup_sql``.
+    """
+    from img2table_ray.stages.util import shuffle_width
+
+    width = shuffle_width()
+    # candidate pairs are tiny relative to the corpus (near-dup buckets);
+    # materialize once so the edge set isn't recomputed every round
+    pairs = minhash_lsh_pairs(sf_dir).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("doc_id_a").cast(pa.int64()).combine_chunks()
+        c = b.column("doc_id_b").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a, c]),
+                "nbr": pa.concat_arrays([c, a]),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.int64())
+        return pa.table({"doc_id": ids, "survivor_id": ids})
+
+    labels = (
+        _docs(sf_dir)
+        .map_batches(init_labels, batch_format="pyarrow", batch_size=4096)
+        .repartition(width)
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    def label_sum(ds: ray.data.Dataset) -> int:
+        return int(ds.aggregate(Sum("survivor_id", alias_name="s"))["s"])
+
+    prev = label_sum(labels)
+    for _ in range(MAX_CC_ROUNDS):
+        # neighbor labels: edge.nbr -> its current survivor_id
+        nbr_view = labels.map_batches(
+            lambda b: pa.table(
+                {"nbr": b.column("doc_id"), "survivor_id": b.column("survivor_id")}
+            ),
+            batch_format="pyarrow",
+        )
+        nbr_labels = edges.join(
+            nbr_view,
+            join_type="inner",
+            num_partitions=width,
+            on=("nbr",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        ).select_columns(["doc_id", "survivor_id"])
+        labels = (
+            labels.union(nbr_labels)
+            .groupby("doc_id")
+            .aggregate(Min("survivor_id", alias_name="survivor_id"))
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """LSH candidates verified by exact n-gram Jaccard >= 1/2.
 

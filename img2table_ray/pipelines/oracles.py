@@ -146,6 +146,25 @@ SELECT doc_id_a::BIGINT AS doc_id_a, doc_id_b::BIGINT AS doc_id_b FROM pairs
 """
 
 
+def minhash_dedup_sql() -> str:
+    """Connected components over the LSH pair graph: survivor = min doc_id
+    reachable (recursive transitive closure; fine at oracle scale — the Ray
+    side uses iterative min-label propagation instead)."""
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+SELECT doc_id::BIGINT AS doc_id, min(r)::BIGINT AS survivor_id
+FROM reach GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_pairs_sql() -> str:
     return f"""
 WITH {_minhash_cte()},
