@@ -28,6 +28,7 @@ parallelism lives in Ray, not in the codec.
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -102,6 +103,9 @@ class _Huff:
                 raise WebpError("empty prefix code")
             if len(nz) == 1:
                 self.single: int | None = nz[0][0]
+                # unified fast-path view: 0-bit lookup, symbol<<4 | len 0
+                self.tbl = [nz[0][0] << 4]
+                self.mask = 0
                 return
             max_len = max(l for _, l in nz)
             bl_count = [0] * (max_len + 1)
@@ -132,6 +136,10 @@ class _Huff:
                 rev |= ((c >> i) & 1) << (l - 1 - i)
             table[rev :: 1 << l] = (s << 4) | l
         self.table = table
+        # fast-path view for the pixel loop: plain Python list (numpy
+        # scalar indexing costs ~3x a list index in the hot loop)
+        self.tbl = table.tolist()
+        self.mask = (1 << max_len) - 1
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
@@ -295,55 +303,140 @@ def _decode_image_stream(br: _BitReader, xsize: int, ysize: int,
 
     groups = [_Group(br, cache_size) for _ in range(n_groups)]
 
+    # ---- hot pixel loop: inlined bit reads over precomputed 64-bit
+    # windows (words[i] = little-endian u64 at byte offset 4i, so any
+    # <=33-bit peek is one list index + shift), flat-list prefix tables,
+    # absolute bit cursor p synced back into the sequential reader at the
+    # end (sub-streams / later headers continue from br)
+    data = br.d
+    max_bits = len(data) * 8
+    padded = data if isinstance(data, bytes) else bytes(data)
+    w32 = np.frombuffer(padded + b"\0" * (12 - len(padded) % 4), "<u4")
+    words = (w32[:-1].astype(np.uint64) | (w32[1:].astype(np.uint64) << np.uint64(32))).tolist()
+    p = br.byte * 8 - br.nbits
+
+    gtabs = [(g.green.tbl, g.green.mask, g.red.tbl, g.red.mask,
+              g.blue.tbl, g.blue.mask, g.alpha.tbl, g.alpha.mask,
+              g.dist.tbl, g.dist.mask) for g in groups]
+    huff_row = None
+    if huff_img is not None:
+        huff_list = huff_img.tolist()
+
     total = xsize * ysize
-    out: list[int] = [0] * total
+    # array("I") gives C-speed slice copies like a list, but the final
+    # numpy conversion is a zero-copy frombuffer instead of a 45ns/elem
+    # list walk
+    out = array("I", bytes(4 * total))
     cache = [0] * cache_size
-    g = groups[0]
+    gt, gm, rt, rm, bt, bm, at, am, dt, dm = gtabs[0]
+    # distances resolved per xsize once, not per reference
+    dmap = [max(1, y * xsize + x) for x, y in _DIST_MAP]
     pos = 0
+    x = 0
+    y = 0
+    cur_gx = -1
+    cur_hy = -1
     while pos < total:
         if huff_img is not None:
-            x = pos % xsize
-            y = pos // xsize
-            g = groups[huff_img[(y >> huff_bits) * huff_xsize
-                                + (x >> huff_bits)]]
-        s = g.green.read(br)
+            hy = y >> huff_bits
+            if hy != cur_hy:
+                base = hy * huff_xsize
+                huff_row = huff_list[base : base + huff_xsize]
+                cur_hy = hy
+                cur_gx = -1
+            gx = x >> huff_bits
+            if gx != cur_gx:
+                cur_gx = gx
+                gt, gm, rt, rm, bt, bm, at, am, dt, dm = gtabs[huff_row[gx]]
+        v = gt[(words[p >> 5] >> (p & 31)) & gm]
+        if v < 0:
+            raise WebpError("invalid prefix code in stream")
+        p += v & 15
+        s = v >> 4
         if s < 256:
-            red = g.red.read(br)
-            blue = g.blue.read(br)
-            alpha = g.alpha.read(br)
-            pix = (alpha << 24) | (red << 16) | (s << 8) | blue
+            v = rt[(words[p >> 5] >> (p & 31)) & rm]
+            p += v & 15
+            red = v >> 4
+            v = bt[(words[p >> 5] >> (p & 31)) & bm]
+            p += v & 15
+            blue = v >> 4
+            v = at[(words[p >> 5] >> (p & 31)) & am]
+            p += v & 15
+            if v < 0 or red < 0 or blue < 0:
+                raise WebpError("invalid prefix code in stream")
+            pix = ((v >> 4) << 24) | (red << 16) | (s << 8) | blue
             out[pos] = pix
             pos += 1
+            x += 1
+            if x == xsize:
+                x = 0
+                y += 1
+                cur_gx = -1
             if cache_size:
                 cache[(0x1E35A7BD * pix & 0xFFFFFFFF) >> (32 - cache_bits)] = pix
         elif s < 280:
-            length = _prefix_value(s - 256, br)
-            dist_code = g.dist.read(br)
-            dist = _plane_to_dist(_prefix_value(dist_code, br), xsize)
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                eb = (words[p >> 5] >> (p & 31)) & ((1 << extra) - 1)
+                p += extra
+                length = ((2 + (code & 1)) << extra) + eb + 1
+            v = dt[(words[p >> 5] >> (p & 31)) & dm]
+            if v < 0:
+                raise WebpError("invalid prefix code in stream")
+            p += v & 15
+            code = v >> 4
+            if code < 4:
+                dcode = code + 1
+            else:
+                extra = (code - 2) >> 1
+                eb = (words[p >> 5] >> (p & 31)) & ((1 << extra) - 1)
+                p += extra
+                dcode = ((2 + (code & 1)) << extra) + eb + 1
+            dist = dcode - 120 if dcode > 120 else dmap[dcode - 1]
             if dist > pos or pos + length > total:
                 raise WebpError("backward reference out of range")
             if dist >= length:
                 out[pos : pos + length] = out[pos - dist : pos - dist + length]
-                pos += length
-                if cache_size:
-                    for pix in out[pos - length : pos]:
-                        cache[(0x1E35A7BD * pix & 0xFFFFFFFF)
-                              >> (32 - cache_bits)] = pix
             else:
-                for _ in range(length):
-                    pix = out[pos - dist]
-                    out[pos] = pix
-                    if cache_size:
-                        cache[(0x1E35A7BD * pix & 0xFFFFFFFF)
-                              >> (32 - cache_bits)] = pix
-                    pos += 1
+                # overlapping copy = periodic repeat of the last `dist`
+                # pixels; list multiplication keeps it C-speed
+                run = out[pos - dist : pos] * (length // dist + 1)
+                out[pos : pos + length] = run[:length]
+            pos += length
+            if cache_size:
+                for pix in out[pos - length : pos]:
+                    cache[(0x1E35A7BD * pix & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = pix
+            x += length
+            if x >= xsize:
+                y += x // xsize
+                x %= xsize
+                cur_gx = -1
         else:
             idx = s - 280
             if idx >= cache_size:
                 raise WebpError("color-cache index out of range")
             out[pos] = cache[idx]
             pos += 1
-    return np.array(out, np.uint32), transforms
+            x += 1
+            if x == xsize:
+                x = 0
+                y += 1
+                cur_gx = -1
+    # truncation check once after the (pos-bounded, so terminating) loop:
+    # zero-padded reads past the end either hit an invalid table slot or
+    # land here with the cursor past the stream
+    if p > max_bits:
+        raise WebpError("truncated VP8L bitstream")
+
+    # sync the sequential reader to the absolute cursor
+    br.byte = (p + 7) >> 3
+    br.nbits = br.byte * 8 - p
+    br.acc = (data[br.byte - 1] >> (8 - br.nbits)) if br.nbits else 0
+    return np.frombuffer(out, np.uint32).copy(), transforms
 
 
 # ---- inverse transforms --------------------------------------------------
