@@ -199,7 +199,6 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from img2table_ray.imgops.webp import decode_webp
 
-        # lossless (VP8L) decodes; lossy (VP8) raises WebpError -> a
-        # counted error row upstream
+        # both lossless (VP8L) and lossy (VP8 keyframe) chunks decode
         return decode_webp(data)
     raise PngError("unsupported image container")

@@ -627,7 +627,8 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container -> first VP8L image as (H, W, 3) uint8 RGB."""
+    """RIFF container -> first VP8L (lossless) or VP8 (lossy keyframe)
+    image as (H, W, 3) uint8 RGB."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP file")
     pos = 12
@@ -638,9 +639,12 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise WebpError(
-                "lossy WebP (VP8) not supported: boolean-arithmetic "
-                "entropy decode not implemented")
+            from img2table_ray.imgops.vp8 import Vp8Error, decode_vp8
+
+            try:
+                return decode_vp8(payload)
+            except Vp8Error as exc:
+                raise WebpError(f"lossy WebP: {exc}") from exc
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise WebpError("no decodable image chunk in WebP container")
 
