@@ -263,9 +263,12 @@ class PDF(Document):
 
     The text layer (``PdfOCR``) is fully supported via the pure-Python
     parser; ``images`` — the @200-DPI page rasters the reference obtains
-    from pypdfium2 (document/pdf.py:46-67) — still requires a renderer
-    absent from this environment, so table *structure* extraction raises.
-    ``pages=[...]`` selects pages as in the reference (pdf.py:21).
+    from pypdfium2 (document/pdf.py:46-67) — come from the pure-Python
+    VECTOR rasterizer (``extract/pdfraster.py``): drawn table rules are
+    geometrically exact, glyph ink is approximated from the text layer,
+    so ``extract_tables`` runs end-to-end (pinned against the reference's
+    own fixture asserts in tests/test_pdfraster.py).  ``pages=[...]``
+    selects pages as in the reference (pdf.py:21).
     """
 
     def __init__(self, src, pages: Optional[list[int]] = None,

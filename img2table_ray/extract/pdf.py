@@ -5,12 +5,14 @@ pdf.py:57) and reads the native text layer per character
 (src/img2table/ocr/pdf.py:119-152).  pypdfium2 is not available in this
 container, so:
 
-* ``PdfiumRenderer`` is a clearly-marked STUB with the real actor
-  signature — drop-in once the library exists on workers.
+* ``PdfiumRenderer`` keeps the pypdfium2 actor contract but is backed by
+  the pure-Python vector rasterizer (``extract/pdfraster.py``) — real
+  PDF rows flow end-to-end (pinned against the reference's own fixture
+  asserts in tests/test_pdfraster.py).
 * ``MPNG`` is a deterministic multi-page container (magic + length-prefixed
-  PNG pages) standing in for rendered PDFs, so the Ray-side plumbing —
+  PNG pages) for pre-rendered page corpora, so the Ray-side plumbing —
   1 document row -> N page rows, per-page words, heavy-document skew
-  routing, (url, page) output keys — is real and tested.
+  routing, (url, page) output keys — is exercised without PDF parse cost.
 """
 
 from __future__ import annotations
@@ -68,24 +70,32 @@ def sniff_kind(data: bytes) -> str:
 
 
 class PdfiumRenderer:
-    """STUB — real-PDF page renderer (ref document/pdf.py:46-67).
+    """Real-PDF page renderer (ref document/pdf.py:46-67).
 
     Actor contract (identical to what a pypdfium2-backed implementation
-    uses): constructed once per actor (the pdfium library handle is warm
-    state), ``render(data, pages=None) -> list[np.ndarray]`` returns RGB
-    arrays rendered at 200 DPI (scale 200/72), one per selected page.
+    uses): constructed once per actor, ``render(data, pages=None) ->
+    list[np.ndarray]`` returns RGB arrays rendered at 200 DPI
+    (scale 200/72), one per selected page.
+
+    pypdfium2 is absent from this container, so rendering is backed by
+    the pure-Python VECTOR rasterizer (``extract/pdfraster.py``): path
+    fills/strokes, rect clips, image XObjects, and text ink approximated
+    by native-text-layer character boxes.  Table rules — what the
+    downstream line detection consumes — are geometrically exact; glyph
+    pixels are not (see the pdfraster module docstring).  Swapping in a
+    pypdfium2 backend is a one-method change once the library exists on
+    workers.
     """
 
     DPI = 200
     SCALE = 200 / 72
 
     def __init__(self) -> None:
-        # once-per-actor: import pypdfium2, hold the library handle
-        pass
+        # once-per-actor: warm import of the rasterizer (and, through it,
+        # the text-layer parser the text-ink pass uses)
+        from img2table_ray.extract import pdfraster
+
+        self._render_pdf = pdfraster.render_pdf
 
     def render(self, data: bytes, pages: list[int] | None = None) -> list[np.ndarray]:
-        raise NotImplementedError(
-            "pypdfium2 is not available in this environment; real PDF pages "
-            "cannot be rendered.  Use the MPNG container for multi-page "
-            "documents, or install pypdfium2 on the workers."
-        )
+        return self._render_pdf(data, pages=pages, dpi=self.DPI)

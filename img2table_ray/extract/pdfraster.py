@@ -1,0 +1,599 @@
+"""Pure-Python 200-DPI PDF page rasterizer (vector layer).
+
+The reference renders PDF pages with pypdfium2 at 200 DPI
+(``/root/reference/src/img2table/document/pdf.py:46-67``) and runs its
+pixel pipeline (threshold -> line detection -> cell grid) on the
+raster.  pypdfium2 is absent from this container, so this module
+rasterizes the page's VECTOR content itself:
+
+* path fills (``m l c v y h re`` + ``f/f*/B/B*/b/b*``) via a numpy
+  scanline fill (even-odd and nonzero winding);
+* strokes (``S/s``) as filled quads of the CTM-scaled line width;
+* rectangular clips (``re W n``; non-rect clip paths are approximated
+  by their bounding box — documented approximation);
+* image XObjects (Flate or DCT-coded, gray/RGB/CMYK) sampled through
+  the inverse CTM; Form XObjects recurse with their matrix;
+* text ink approximated by per-character boxes from the native text
+  layer (:func:`img2table_ray.extract.pdftext.page_chars`), inset so
+  adjacent characters stay separate connected components.
+
+What this is NOT: a glyph renderer.  Character ink is a box, not an
+outline, so pixel output is NOT byte-identical to pdfium; table
+STRUCTURE (the drawn rules, the cell grid) is geometrically exact,
+which is what the downstream detection consumes.  The e2e test pins
+this module against the reference's own fixture asserts
+(``/root/reference/tests/document/pdf/test_pdf.py:49-73``): per-page
+table count, title, row/column shape, and bbox proximity.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+
+from img2table_ray.extract.pdftext import (
+    PdfDocument,
+    PdfTextError,
+    _Name,
+    _Ref,
+    _Kw,
+    _Lexer,
+    _Stream,
+    _mul,
+    page_chars,
+)
+
+
+class PdfRasterError(ValueError):
+    pass
+
+
+_BEZIER_STEPS = 16
+
+
+def _flatten_bezier(p0, p1, p2, p3):
+    """Cubic bezier -> list of points (excludes p0)."""
+    pts = []
+    for i in range(1, _BEZIER_STEPS + 1):
+        t = i / _BEZIER_STEPS
+        mt = 1.0 - t
+        x = (mt**3 * p0[0] + 3 * mt * mt * t * p1[0]
+             + 3 * mt * t * t * p2[0] + t**3 * p3[0])
+        y = (mt**3 * p0[1] + 3 * mt * mt * t * p1[1]
+             + 3 * mt * t * t * p2[1] + t**3 * p3[1])
+        pts.append((x, y))
+    return pts
+
+
+def _clip_intersect(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+
+
+def _fill_subpaths(canvas: np.ndarray, subpaths, gray: int, evenodd: bool,
+                   clip) -> None:
+    """Scanline-fill closed subpaths (device coords) onto ``canvas``.
+    Pixel (r, c) is inside when its center (c+.5, r+.5) is."""
+    h, w = canvas.shape
+    edges = []
+    for sp in subpaths:
+        n = len(sp)
+        if n < 3:
+            continue
+        for i in range(n):
+            x0, y0 = sp[i]
+            x1, y1 = sp[(i + 1) % n]
+            if y0 != y1:
+                edges.append((x0, y0, x1, y1))
+    if not edges:
+        return
+    e = np.asarray(edges, np.float64)
+    ex0, ey0, ex1, ey1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    ymin = max(0.0, e[:, [1, 3]].min())
+    ymax = min(float(h), e[:, [1, 3]].max())
+    cx0, cy0, cx1, cy1 = (0.0, 0.0, float(w), float(h))
+    if clip is not None:
+        cx0, cy0, cx1, cy1 = clip
+        ymin = max(ymin, cy0)
+        ymax = min(ymax, cy1)
+    r0 = max(0, int(math.floor(ymin)))
+    r1 = min(h - 1, int(math.ceil(ymax)) - 1)
+    inv_dy = 1.0 / (ey1 - ey0)
+    slope = (ex1 - ex0) * inv_dy
+    for r in range(r0, r1 + 1):
+        yc = r + 0.5
+        m = (ey0 <= yc) != (ey1 <= yc)
+        if not m.any():
+            continue
+        xs = ex0[m] + (yc - ey0[m]) * slope[m]
+        if evenodd:
+            xs = np.sort(xs)
+            spans = zip(xs[0::2], xs[1::2])
+        else:
+            wind = np.where(ey1[m] > ey0[m], 1, -1)
+            order = np.argsort(xs, kind="stable")
+            xs = xs[order]
+            acc = np.cumsum(wind[order])
+            spans = []
+            start = None
+            for i in range(len(xs)):
+                if start is None and acc[i] != 0:
+                    start = xs[i]
+                elif start is not None and acc[i] == 0:
+                    spans.append((start, xs[i]))
+                    start = None
+        for xa, xb in spans:
+            xa = max(xa, cx0)
+            xb = min(xb, cx1)
+            c0 = int(math.ceil(xa - 0.5))
+            c1 = int(math.ceil(xb - 0.5))
+            if c1 > c0:
+                canvas[r, max(0, c0) : min(w, c1)] = gray
+
+
+def _fill_rect(canvas: np.ndarray, x0, y0, x1, y1, gray: int, clip) -> None:
+    if clip is not None:
+        x0, y0 = max(x0, clip[0]), max(y0, clip[1])
+        x1, y1 = min(x1, clip[2]), min(y1, clip[3])
+    h, w = canvas.shape
+    c0 = max(0, int(math.ceil(x0 - 0.5)))
+    c1 = min(w, int(math.ceil(x1 - 0.5)))
+    r0 = max(0, int(math.ceil(y0 - 0.5)))
+    r1 = min(h, int(math.ceil(y1 - 0.5)))
+    if c1 > c0 and r1 > r0:
+        canvas[r0:r1, c0:c1] = gray
+
+
+def _is_axis_rect(sp) -> bool:
+    if len(sp) != 4:
+        return False
+    xs = {round(p[0], 6) for p in sp}
+    ys = {round(p[1], 6) for p in sp}
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _luminance(comps) -> int:
+    """Color components (1=gray, 3=RGB, 4=CMYK) -> 0..255 gray."""
+    vals = [float(v) for v in comps if isinstance(v, (int, float))]
+    if not vals:
+        return 0
+    if len(vals) >= 4:
+        c, m_, y_, k = vals[-4:]
+        r, g, b = (1 - min(1, c + k)), (1 - min(1, m_ + k)), (1 - min(1, y_ + k))
+    elif len(vals) >= 3:
+        r, g, b = vals[-3:]
+    else:
+        r = g = b = vals[-1]
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    return int(round(max(0.0, min(1.0, lum)) * 255))
+
+
+def _ncomponents(doc: PdfDocument, cspace) -> int:
+    cs = doc.resolve(cspace)
+    if isinstance(cs, list):
+        head = str(doc.resolve(cs[0])) if cs else ""
+        if head == "ICCBased" and len(cs) > 1:
+            icc = doc.resolve(cs[1])
+            d = icc.dict if isinstance(icc, _Stream) else (icc or {})
+            return int(doc.resolve(d.get("N")) or 3)
+        if head == "Indexed":
+            return -1  # palette — handled as unsupported
+        if head in ("CalRGB", "Lab"):
+            return 3
+        if head == "CalGray":
+            return 1
+    name = str(cs) if cs is not None else "DeviceRGB"
+    return {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}.get(name, 3)
+
+
+def _decode_image_xobject(doc: PdfDocument, xo: _Stream):
+    """Image XObject -> (H, W) uint8 gray, or None if undecodable."""
+    d = xo.dict
+    width = int(doc.resolve(d.get("Width")) or 0)
+    height = int(doc.resolve(d.get("Height")) or 0)
+    bpc = int(doc.resolve(d.get("BitsPerComponent")) or 8)
+    if width <= 0 or height <= 0:
+        return None
+    filt = doc.resolve(d.get("Filter"))
+    filters = [str(f) for f in (filt if isinstance(filt, list) else
+                                ([filt] if filt is not None else []))]
+    try:
+        if filters and filters[-1] == "DCTDecode":
+            from img2table_ray.imgops.jpeg import decode_jpeg
+
+            data = xo.raw
+            for f in filters[:-1]:
+                if f == "FlateDecode":
+                    data = zlib.decompress(data)
+                else:
+                    return None
+            rgb = decode_jpeg(data)
+            return np.clip(
+                0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2],
+                0, 255).astype(np.uint8)
+        if filters in ([], ["FlateDecode"]):
+            data = xo.raw if not filters else zlib.decompress(xo.raw)
+            ncomp = _ncomponents(doc, d.get("ColorSpace"))
+            if ncomp < 1 or bpc != 8:
+                return None
+            need = width * height * ncomp
+            if len(data) < need:
+                return None
+            a = np.frombuffer(data[:need], np.uint8).reshape(height, width,
+                                                             ncomp)
+            if ncomp == 1:
+                return a[..., 0].copy()
+            if ncomp == 3:
+                return np.clip(0.299 * a[..., 0] + 0.587 * a[..., 1]
+                               + 0.114 * a[..., 2], 0, 255).astype(np.uint8)
+            # CMYK
+            k = a[..., 3].astype(np.int32)
+            r = 255 - np.minimum(255, a[..., 0].astype(np.int32) + k)
+            g = 255 - np.minimum(255, a[..., 1].astype(np.int32) + k)
+            b = 255 - np.minimum(255, a[..., 2].astype(np.int32) + k)
+            return np.clip(0.299 * r + 0.587 * g + 0.114 * b, 0,
+                           255).astype(np.uint8)
+    except Exception:
+        return None
+    return None
+
+
+def _blit_image(canvas: np.ndarray, img, ctm, clip) -> None:
+    """Draw an image (or, when ``img is None``, a neutral gray box) mapped
+    from the unit square through ``ctm`` (device coords)."""
+    h, w = canvas.shape
+    corners = [(ctm[0] * x + ctm[2] * y + ctm[4],
+                ctm[1] * x + ctm[3] * y + ctm[5])
+               for x, y in ((0, 0), (1, 0), (0, 1), (1, 1))]
+    xs = [p[0] for p in corners]
+    ys = [p[1] for p in corners]
+    x0, x1 = max(0.0, min(xs)), min(float(w), max(xs))
+    y0, y1 = max(0.0, min(ys)), min(float(h), max(ys))
+    if clip is not None:
+        x0, y0 = max(x0, clip[0]), max(y0, clip[1])
+        x1, y1 = min(x1, clip[2]), min(y1, clip[3])
+    c0, c1 = int(math.ceil(x0 - 0.5)), int(math.ceil(x1 - 0.5))
+    r0, r1 = int(math.ceil(y0 - 0.5)), int(math.ceil(y1 - 0.5))
+    c0, r0 = max(0, c0), max(0, r0)
+    c1, r1 = min(w, c1), min(h, r1)
+    if c1 <= c0 or r1 <= r0:
+        return
+    if img is None:
+        canvas[r0:r1, c0:c1] = np.minimum(canvas[r0:r1, c0:c1], 200)
+        return
+    a, b, c, d, e, f = ctm
+    det = a * d - b * c
+    if abs(det) < 1e-12:
+        return
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    cols = np.arange(c0, c1) + 0.5 - e
+    rows = np.arange(r0, r1) + 0.5 - f
+    u = cols[None, :] * ia + rows[:, None] * ic
+    v = cols[None, :] * ib + rows[:, None] * id_
+    inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    ih, iw = img.shape
+    px = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+    # unit-square v=1 is the image's TOP row (PDF image space)
+    py = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
+    region = canvas[r0:r1, c0:c1]
+    region[inside] = img[py[inside], px[inside]]
+
+
+class _Raster:
+    """One page's interpreter state + canvas."""
+
+    def __init__(self, doc: PdfDocument, page: dict, dpi: float) -> None:
+        self.doc = doc
+        self.dpi = dpi
+        mb = [float(doc.resolve(v)) for v in
+              (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+        self.mb = mb
+        s = dpi / 72.0
+        self.width = int(round((mb[2] - mb[0]) * s))
+        self.height = int(round((mb[3] - mb[1]) * s))
+        if not (0 < self.width <= 20000 and 0 < self.height <= 20000):
+            raise PdfRasterError(f"unreasonable page raster "
+                                 f"{self.width}x{self.height}")
+        self.canvas = np.full((self.height, self.width), 255, np.uint8)
+        # base CTM: user space -> device pixels, y flipped
+        self.base = (s, 0.0, 0.0, -s, -mb[0] * s, mb[3] * s)
+
+    # -- interpreter -------------------------------------------------------
+
+    def run(self, content: bytes, resources: dict, ctm) -> None:
+        doc = self.doc
+        resources = doc.resolve(resources) or {}
+        xobjs = doc.resolve(resources.get("XObject")) or {}
+        lex = _Lexer(content)
+        stack: list = []
+        gs: list = []
+        fill_gray = 0
+        stroke_gray = 0
+        lw = 1.0
+        clip = None
+        pend_clip = None  # 'W' or 'W*' pending until the next paint op
+        path: list = []       # finished subpaths (device coords)
+        cur: list = []        # open subpath
+        start_pt = None
+        pt = None
+
+        def dev(x, y, m):
+            return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+        def end_subpath():
+            nonlocal cur
+            if len(cur) >= 2:
+                path.append(cur)
+            cur = []
+
+        def path_bbox():
+            pts = [p for sp in path for p in sp] + cur
+            if not pts:
+                return None
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            return (min(xs), min(ys), max(xs), max(ys))
+
+        def do_fill(evenodd: bool):
+            end_subpath()
+            rects = [sp for sp in path if _is_axis_rect(sp)]
+            if len(rects) == len(path) and not (evenodd and len(path) > 1):
+                for sp in path:
+                    xs = [p[0] for p in sp]
+                    ys = [p[1] for p in sp]
+                    _fill_rect(self.canvas, min(xs), min(ys), max(xs),
+                               max(ys), fill_gray, clip)
+            else:
+                _fill_subpaths(self.canvas, path, fill_gray, evenodd, clip)
+
+        def do_stroke():
+            end_subpath()
+            lin = ctm[:4]
+            scale = math.sqrt(abs(lin[0] * lin[3] - lin[1] * lin[2]))
+            wdev = max(lw * scale, 1.0)
+            half = wdev / 2.0
+            for sp in path:
+                segs = list(zip(sp, sp[1:]))
+                if len(sp) > 2 and sp[0] != sp[-1]:
+                    pass  # open subpath: no closing segment for S
+                for (x0, y0), (x1, y1) in segs:
+                    if abs(x1 - x0) < 1e-9 or abs(y1 - y0) < 1e-9:
+                        _fill_rect(self.canvas, min(x0, x1) - half,
+                                   min(y0, y1) - half, max(x0, x1) + half,
+                                   max(y0, y1) + half, stroke_gray, clip)
+                    else:
+                        dx, dy = x1 - x0, y1 - y0
+                        n = math.hypot(dx, dy)
+                        ox, oy = -dy / n * half, dx / n * half
+                        quad = [(x0 + ox, y0 + oy), (x1 + ox, y1 + oy),
+                                (x1 - ox, y1 - oy), (x0 - ox, y0 - oy)]
+                        _fill_subpaths(self.canvas, [quad], stroke_gray,
+                                       False, clip)
+
+        def finish_paint():
+            nonlocal path, cur, clip, pend_clip, start_pt, pt
+            if pend_clip is not None:
+                bb = path_bbox()
+                if bb is not None:
+                    clip = _clip_intersect(clip, bb)
+                pend_clip = None
+            path = []
+            cur = []
+            start_pt = pt = None
+
+        def nums(k):
+            out = [v for v in stack if isinstance(v, (int, float))]
+            return out[-k:] if len(out) >= k else out
+
+        while True:
+            tok = lex.token()
+            if tok is None:
+                break
+            if not isinstance(tok, _Kw):
+                stack.append(tok)
+                continue
+            op = str(tok)
+            try:
+                if op == "q":
+                    gs.append((ctm, fill_gray, stroke_gray, lw, clip))
+                elif op == "Q":
+                    if gs:
+                        ctm, fill_gray, stroke_gray, lw, clip = gs.pop()
+                elif op == "cm":
+                    v = nums(6)
+                    if len(v) == 6:
+                        ctm = _mul(tuple(float(x) for x in v), ctm)
+                elif op == "m":
+                    v = nums(2)
+                    if len(v) == 2:
+                        end_subpath()
+                        pt = dev(float(v[0]), float(v[1]), ctm)
+                        start_pt = pt
+                        cur = [pt]
+                elif op == "l":
+                    v = nums(2)
+                    if len(v) == 2 and pt is not None:
+                        pt = dev(float(v[0]), float(v[1]), ctm)
+                        cur.append(pt)
+                elif op in ("c", "v", "y"):
+                    if pt is not None:
+                        v = nums(6 if op == "c" else 4)
+                        ps = [dev(float(v[i]), float(v[i + 1]), ctm)
+                              for i in range(0, len(v) - 1, 2)]
+                        if op == "c" and len(ps) == 3:
+                            p1, p2, p3 = ps
+                        elif op == "v" and len(ps) == 2:
+                            p1, (p2, p3) = pt, (ps[0], ps[1])
+                        elif op == "y" and len(ps) == 2:
+                            p1, p2, p3 = ps[0], ps[1], ps[1]
+                        else:
+                            stack.clear()
+                            continue
+                        cur.extend(_flatten_bezier(pt, p1, p2, p3))
+                        pt = p3
+                elif op == "h":
+                    if cur and start_pt is not None:
+                        cur.append(start_pt)
+                        pt = start_pt
+                    end_subpath()
+                elif op == "re":
+                    v = nums(4)
+                    if len(v) == 4:
+                        x, y, rw, rh = (float(x) for x in v)
+                        end_subpath()
+                        quad = [dev(x, y, ctm), dev(x + rw, y, ctm),
+                                dev(x + rw, y + rh, ctm), dev(x, y + rh, ctm)]
+                        path.append(quad)
+                        start_pt = pt = quad[0]
+                elif op in ("f", "F", "f*"):
+                    do_fill(op == "f*")
+                    finish_paint()
+                elif op in ("B", "B*", "b", "b*"):
+                    if op in ("b", "b*") and cur and start_pt is not None:
+                        cur.append(start_pt)
+                    do_fill(op in ("B*", "b*"))
+                    do_stroke()
+                    finish_paint()
+                elif op in ("S", "s"):
+                    if op == "s" and cur and start_pt is not None:
+                        cur.append(start_pt)
+                    do_stroke()
+                    finish_paint()
+                elif op == "n":
+                    end_subpath()
+                    finish_paint()
+                elif op in ("W", "W*"):
+                    pend_clip = op
+                elif op == "w":
+                    v = nums(1)
+                    if v:
+                        lw = float(v[0])
+                elif op == "g":
+                    fill_gray = _luminance(nums(1))
+                elif op == "G":
+                    stroke_gray = _luminance(nums(1))
+                elif op == "rg":
+                    fill_gray = _luminance(nums(3))
+                elif op == "RG":
+                    stroke_gray = _luminance(nums(3))
+                elif op == "k":
+                    fill_gray = _luminance(nums(4))
+                elif op == "K":
+                    stroke_gray = _luminance(nums(4))
+                elif op in ("sc", "scn"):
+                    fill_gray = _luminance(stack)
+                elif op in ("SC", "SCN"):
+                    stroke_gray = _luminance(stack)
+                elif op == "BI":
+                    # inline image: skip to EI
+                    idx = content.find(b"EI", lex.i)
+                    lex.i = len(content) if idx < 0 else idx + 2
+                elif op == "Do":
+                    name = str(stack[-1]) if stack else ""
+                    xo = doc.resolve(xobjs.get(name))
+                    if isinstance(xo, _Stream):
+                        sub = str(doc.resolve(xo.dict.get("Subtype")) or "")
+                        if sub == "Image":
+                            img = _decode_image_xobject(doc, xo)
+                            _blit_image(self.canvas, img, ctm, clip)
+                        elif sub == "Form":
+                            mtx = doc.resolve(xo.dict.get("Matrix"))
+                            m2 = ctm
+                            if isinstance(mtx, list) and len(mtx) == 6:
+                                m2 = _mul(tuple(float(doc.resolve(x))
+                                                for x in mtx), ctm)
+                            try:
+                                self.run(xo.decoded(),
+                                         xo.dict.get("Resources") or resources,
+                                         m2)
+                            except (PdfTextError, PdfRasterError):
+                                pass
+            finally:
+                stack.clear()
+
+    # -- text ink ------------------------------------------------------
+
+    # per-character vertical ink extent as a fraction of the loose charbox
+    # (top = ascent line, bottom = descent line, baseline ~0.80).  Heights
+    # MUST vary by character class: uniform boxes on a text line look like
+    # a dashed rule to the downstream remove_dotted_lines filter
+    # (extract/metrics.py:57), which then deletes the whole line's
+    # contours — real glyphs never trigger it because ascenders/descenders
+    # break both the w/h>=2 shape test and the midline-alignment chain.
+    _DESCENDERS = frozenset("gjpqy")
+    _XHEIGHT = frozenset("aceimnorsuvwxz")
+    _BASE_PUNCT = frozenset(".,:;_")
+    _MID_PUNCT = frozenset("-–—~=·*")
+
+    def _ink_extent(self, ch: str) -> tuple[float, float]:
+        if ch in self._XHEIGHT:
+            return (0.42, 0.80)
+        if ch in self._DESCENDERS:
+            return (0.42, 0.96)
+        if ch in self._BASE_PUNCT:
+            return (0.68, 0.82)
+        if ch in self._MID_PUNCT:
+            return (0.50, 0.62)
+        if ch in "'\"`^":
+            return (0.12, 0.30)
+        return (0.12, 0.80)  # capitals, digits, ascenders, symbols
+
+    def draw_text_ink(self, page: dict) -> None:
+        """Approximate glyph ink with inset per-character boxes from the
+        native text layer (kept apart horizontally so adjacent characters
+        stay separate CCs; vertical extent varies per character class —
+        see ``_ink_extent``)."""
+        try:
+            chars = page_chars(self.doc, page)
+        except PdfTextError:
+            return
+        s = self.dpi / 72.0
+        mb = self.mb
+        for value, x1, y1, x2, y2 in chars:
+            if not value or not value.strip():
+                continue
+            dx0 = (x1 - mb[0]) * s
+            dx1 = (x2 - mb[0]) * s
+            dy0 = (mb[3] - y2) * s
+            dy1 = (mb[3] - y1) * s
+            bw = dx1 - dx0
+            bh = dy1 - dy0
+            if bw <= 0 or bh <= 0:
+                continue
+            ix = max(min(bw * 0.12, 1.5), bw * 0.06)
+            f0, f1 = self._ink_extent(value[0])
+            _fill_rect(self.canvas, dx0 + ix, dy0 + f0 * bh, dx1 - ix,
+                       dy0 + f1 * bh, 0, None)
+
+
+def render_pdf(data: bytes, pages: list[int] | None = None,
+               dpi: float = 200.0, text_ink: bool = True
+               ) -> list[np.ndarray]:
+    """Rasterize selected pages of a PDF -> list of (H, W, 3) uint8 RGB.
+
+    Vector-layer rendering (see module docstring); raises
+    :class:`PdfRasterError` / :class:`PdfTextError` on undecodable files.
+    """
+    doc = PdfDocument(data)
+    all_pages = doc.pages()
+    idxs = range(len(all_pages)) if pages is None else pages
+    out = []
+    for i in idxs:
+        if not 0 <= i < len(all_pages):
+            raise PdfRasterError(f"page {i} out of range")
+        page = all_pages[i]
+        r = _Raster(doc, page, dpi)
+        try:
+            content = doc.content_bytes(page)
+        except PdfTextError:
+            content = b""
+        r.run(content, page.get("Resources") or {}, r.base)
+        if text_ink:
+            r.draw_text_ink(page)
+        out.append(np.repeat(r.canvas[:, :, None], 3, axis=2))
+    return out

@@ -59,7 +59,12 @@ def probe_batch(batch: pa.Table) -> pa.Table:
 def explode_pages(batch: pa.Table) -> pa.Table:
     """1 multi-page document row -> N per-page rows (SURVEY.md §4: explode
     BEFORE the heavy per-page work so a many-page document cannot stall one
-    actor slot).  Page bytes are container slices — no decode here.
+    actor slot).  MPNG page bytes are container slices — no decode here.
+    PDF pages cannot be sliced (objects are shared across pages), so each
+    exploded PDF row repeats the full document bytes with a ``page`` index;
+    the render stage selects the page.  The duplication trades object-store
+    bytes for slot-level parallelism — the right trade for the multi-table
+    report PDFs that otherwise pin one actor for the whole document.
 
     Arrow-native: only the multi-page rows' ``html`` payloads are
     materialized into Python; every other column is duplicated with
@@ -69,37 +74,62 @@ def explode_pages(batch: pa.Table) -> pa.Table:
 
     from img2table_ray.extract.pdf import split_mpng
 
-    mask = pc.equal(batch["doc_kind"], "mpng")
-    if not pc.any(mask).as_py():
+    mask_mpng = pc.equal(batch["doc_kind"], "mpng")
+    mask_pdf = pc.equal(batch["doc_kind"], "pdf")
+    mask_multi = pc.or_(mask_mpng, mask_pdf)
+    if not pc.any(mask_multi).as_py():
         return batch.append_column(
             "page", pa.array([0] * len(batch), pa.int32()))
 
-    plain = batch.filter(pc.invert(mask))
+    plain = batch.filter(pc.invert(mask_multi))
     plain = plain.append_column("page", pa.array([0] * len(plain), pa.int32()))
+    parts = [plain]
 
-    sub = batch.filter(mask)
-    page_lists: list[list[bytes]] = []
-    for b in sub["html"].to_pylist():
-        try:
-            page_lists.append(split_mpng(b))
-        except ValueError:
-            page_lists.append([b])
-    counts = [len(p) for p in page_lists]
-    rep = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
-    rows = sub.take(pa.array(rep))
-    flat = [pb for lst in page_lists for pb in lst]
-    names = rows.schema.names
-    rows = rows.set_column(names.index("html"), "html", pa.array(flat, pa.binary()))
-    rows = rows.set_column(
-        names.index("doc_bytes"), "doc_bytes",
-        pa.array([len(pb) for pb in flat],
-                 batch.schema.field("doc_bytes").type))
-    rows = rows.set_column(
-        names.index("doc_kind"), "doc_kind",
-        pa.array(["png"] * len(flat), pa.string()))
-    page_ids = np.concatenate([np.arange(c, dtype=np.int32) for c in counts])
-    rows = rows.append_column("page", pa.array(page_ids, pa.int32()))
-    return pa.concat_tables([plain, rows])
+    if pc.any(mask_mpng).as_py():
+        sub = batch.filter(mask_mpng)
+        page_lists: list[list[bytes]] = []
+        for b in sub["html"].to_pylist():
+            try:
+                page_lists.append(split_mpng(b))
+            except ValueError:
+                page_lists.append([b])
+        counts = [len(p) for p in page_lists]
+        rep = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+        rows = sub.take(pa.array(rep))
+        flat = [pb for lst in page_lists for pb in lst]
+        names = rows.schema.names
+        rows = rows.set_column(names.index("html"), "html",
+                               pa.array(flat, pa.binary()))
+        rows = rows.set_column(
+            names.index("doc_bytes"), "doc_bytes",
+            pa.array([len(pb) for pb in flat],
+                     batch.schema.field("doc_bytes").type))
+        rows = rows.set_column(
+            names.index("doc_kind"), "doc_kind",
+            pa.array(["png"] * len(flat), pa.string()))
+        page_ids = np.concatenate([np.arange(c, dtype=np.int32)
+                                   for c in counts])
+        rows = rows.append_column("page", pa.array(page_ids, pa.int32()))
+        parts.append(rows)
+
+    if pc.any(mask_pdf).as_py():
+        from img2table_ray.extract.pdftext import pdf_page_count
+
+        sub = batch.filter(mask_pdf)
+        counts = []
+        for b in sub["html"].to_pylist():
+            try:
+                counts.append(max(1, pdf_page_count(b)))
+            except Exception:
+                counts.append(1)  # undecodable: one error row downstream
+        rep = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+        rows = sub.take(pa.array(rep))
+        page_ids = np.concatenate([np.arange(c, dtype=np.int32)
+                                   for c in counts])
+        rows = rows.append_column("page", pa.array(page_ids, pa.int32()))
+        parts.append(rows)
+
+    return pa.concat_tables(parts)
 
 
 class PageExtractor:
@@ -133,40 +163,54 @@ class PageExtractor:
         self._borderless = borderless
         self._min_confidence = min_confidence
 
-    def _decode(self, data: bytes):
+    def _decode(self, data: bytes, page: int = 0):
         from img2table_ray.extract.pdf import sniff_kind
         from img2table_ray.imgops.png import decode_image
 
-        key = hashlib.md5(data).digest()
+        key = (hashlib.md5(data).digest(), page)
         img = self._decode_cache.get(key)
         if img is None:
             if sniff_kind(data[:8]) == "pdf":
                 from img2table_ray.extract.pdf import PdfiumRenderer
 
-                # clearly-marked stub: real PDFs need pypdfium2 on workers
-                img = PdfiumRenderer().render(data)[0]
+                # vector rasterizer @200 DPI (extract/pdfraster.py); the
+                # exploded PDF row carries the selected page index
+                img = PdfiumRenderer().render(data, pages=[page])[0]
             else:
                 img = decode_image(data)
             if len(self._decode_cache) < 64:
                 self._decode_cache[key] = img
         return key, img
 
-    def _extract(self, data: bytes, hocr: Optional[str]):
-        """Extraction result for (document bytes, hocr) — memoized, since
-        synthetic corpora replicate documents heavily.  Returns the list of
-        per-table dict rows (without url/part)."""
+    def _extract(self, data: bytes, hocr: Optional[str], page: int = 0):
+        """Extraction result for (document bytes, hocr, page) — memoized,
+        since synthetic corpora replicate documents heavily.  Returns the
+        list of per-table dict rows (without url/part)."""
         from img2table_ray.extract.content import OCRWords, parse_hocr
         from img2table_ray.extract.document import extract_tables_from_image
 
-        ckey = (hashlib.md5(data).digest(), hashlib.md5((hocr or "").encode()).digest())
+        ckey = self._cache_key(data, hocr, page)
         cached = self._extract_cache.get(ckey)
         if cached is not None:
             return cached
 
-        _, img = self._decode(data)
-        words = (
-            OCRWords.from_records(parse_hocr(hocr, page=0)) if hocr is not None else None
-        )
+        _, img = self._decode(data, page)
+        if hocr is not None:
+            words = OCRWords.from_records(parse_hocr(hocr, page=0))
+        elif data[:4] == b"%PDF":
+            # no hOCR sidecar: PDFs carry their own text layer
+            from img2table_ray.extract.pdftext import (PdfTextError,
+                                                       pdf_words_content)
+
+            try:
+                recs = pdf_words_content(data, pages=[page])[0]
+                for r in recs:
+                    r["page"] = 0  # single-page extraction context
+                words = OCRWords.from_records(recs)
+            except PdfTextError:
+                words = None
+        else:
+            words = None
         res = extract_tables_from_image(
             img, words=words, implicit_rows=self._implicit_rows,
             borderless_tables=self._borderless, min_confidence=self._min_confidence)
@@ -211,8 +255,9 @@ class PageExtractor:
             self._extract_cache[ckey] = rows
         return rows
 
-    def _cache_key(self, data: bytes, hocr) -> tuple:
-        return (hashlib.md5(data).digest(), hashlib.md5((hocr or "").encode()).digest())
+    def _cache_key(self, data: bytes, hocr, page: int = 0) -> tuple:
+        return (hashlib.md5(data).digest(),
+                hashlib.md5((hocr or "").encode()).digest(), page)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -235,8 +280,8 @@ class PageExtractor:
         if self._cache is not None:
             miss_keys = []
             seen = set()
-            for data, hocr in zip(htmls, hocr_list):
-                k = self._cache_key(data, hocr)
+            for data, hocr, page in zip(htmls, hocr_list, pages):
+                k = self._cache_key(data, hocr, page)
                 if k not in self._extract_cache and k not in seen:
                     seen.add(k)
                     miss_keys.append(k)
@@ -266,9 +311,9 @@ class PageExtractor:
         for url, page, part, data, hocr in zip(urls, pages, parts, htmls,
                                                hocr_list):
             try:
-                k = self._cache_key(data, hocr)
+                k = self._cache_key(data, hocr, page)
                 fresh = k not in self._extract_cache
-                rows = self._extract(data, hocr)
+                rows = self._extract(data, hocr, page)
                 if fresh and self._cache is not None:
                     # publish IMMEDIATELY (fire-and-forget) so single-flight
                     # waiters on this hot key unblock mid-batch

@@ -131,9 +131,10 @@ def test_pdf_api_words(pdf_bytes):
     d = words.df
     assert (d["class"] == "ocrx_word").all()
     assert words.page(0).df["value"].iloc[0] == "Example"
-    # rendering is env-blocked: explicit error, not silent wrong output
-    with pytest.raises(NotImplementedError):
-        _ = doc.images
+    # rendering is backed by the vector rasterizer (ref shape golden,
+    # test_pdf.py:40); full e2e parity lives in tests/test_pdfraster.py
+    imgs = doc.images
+    assert [im.shape for im in imgs] == [(2200, 1700, 3)] * 2
 
 
 def test_blank_page_record():

@@ -138,9 +138,11 @@ def test_lang_filter_pushdown(ray_session, corpus):
     assert 0 < n_de_urls < n_all_urls
 
 
-def test_multipage_explode_and_pdf_stub(ray_session):
+def test_multipage_explode_and_pdf_rows(ray_session):
     """Multi-page MPNG docs explode to per-page rows with per-page words;
-    real-PDF bytes hit the clearly-marked pypdfium2 stub as error rows."""
+    real PDF rows explode by page count and extract via the vector
+    rasterizer + native text layer; broken PDF bytes become error rows."""
+    from img2table_ray.fixtures import fixture_bytes
     from img2table_ray.pipelines.extraction import extract_pages
     from img2table_ray.sources.pages import generate_pages
 
@@ -158,13 +160,25 @@ def test_multipage_explode_and_pdf_stub(ray_session):
     shutil.rmtree(pdf_dir, ignore_errors=True)
     os.makedirs(f"{pdf_dir}/pages")
     pq.write_table(pa.table({
-        "url": ["https://example.org/pdfdoc/0"],
-        "warc_ts": pa.array([0], pa.timestamp("us")),
-        "html": pa.array([b"%PDF-1.4 fake"], pa.binary()),
-        "text": [""], "lang": ["en"]}), f"{pdf_dir}/pages/p.parquet")
+        "url": ["https://example.org/pdfdoc/0",
+                "https://example.org/pdfbroken/1"],
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([fixture_bytes("test.pdf"), b"%PDF-1.4 fake"],
+                         pa.binary()),
+        "text": ["", ""], "lang": ["en", "en"]}),
+        f"{pdf_dir}/pages/p.parquet")
     df2 = extract_pages(pdf_dir).to_pandas()
-    assert df2["status"].tolist() == ["error"]
-    assert "pypdfium2" in df2["error"].iloc[0]
+    good = df2[df2["url"].str.contains("pdfdoc")].sort_values(
+        ["page", "table_idx"])
+    # the reference's own fixture: 2 pages x 2 tables, native-text content
+    assert good["status"].eq("ok").all()
+    assert [tuple(r) for r in good[["page", "table_idx"]].to_numpy()] == [
+        (0, 0), (0, 1), (1, 0), (1, 1)]
+    assert good["title"].tolist() == [
+        f"Example of Data Table {i}" for i in (1, 2, 3, 4)]
+    assert (good["nb_rows"] == 5).all() and (good["nb_columns"] == 4).all()
+    bad = df2[df2["url"].str.contains("pdfbroken")]
+    assert bad["status"].tolist() == ["error"]
 
 
 def test_words_hash_join_matches_broadcast(ray_session, corpus):
