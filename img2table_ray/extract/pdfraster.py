@@ -567,8 +567,27 @@ class _Raster:
                 continue
             ix = max(min(bw * 0.12, 1.5), bw * 0.06)
             f0, f1 = self._ink_extent(value[0])
-            _fill_rect(self.canvas, dx0 + ix, dy0 + f0 * bh, dx1 - ix,
-                       dy0 + f1 * bh, 0, None)
+            gx0, gx1 = dx0 + ix, dx1 - ix
+            gy0, gy1 = dy0 + f0 * bh, dy0 + f1 * bh
+            gw, gh = gx1 - gx0, gy1 - gy0
+            if gw < 4.0 or gh < 4.0:
+                # too small for stroke topology: solid mark
+                _fill_rect(self.canvas, gx0, gy0, gx1, gy1, 0, None)
+                continue
+            # glyph-like "H" topology: two vertical strokes + a crossbar.
+            # A SOLID box reads as a round dot to remove_dots
+            # (extract/metrics.py:26: roundness>=0.7 with no inner gaps)
+            # and whole text lines vanish from the metrics; strokes with a
+            # counter (inner gap) survive like real glyph ink does.
+            bar = max(1.2, gw * 0.22)
+            _fill_rect(self.canvas, gx0, gy0, gx0 + bar, gy1, 0, None)
+            _fill_rect(self.canvas, gx1 - bar, gy0, gx1, gy1, 0, None)
+            cb = {  # crossbar position varies per class, like real glyphs
+                "asc": (0.25, 0.45), "x": (0.40, 0.62), "desc": (0.55, 0.78),
+            }["desc" if value[0] in self._DESCENDERS
+              else ("x" if value[0] in self._XHEIGHT else "asc")]
+            _fill_rect(self.canvas, gx0, gy0 + cb[0] * gh, gx1,
+                       gy0 + cb[1] * gh, 0, None)
 
 
 def render_pdf(data: bytes, pages: list[int] | None = None,

@@ -5,11 +5,12 @@ organization (chunky and planar), compressions None / PackBits / LZW /
 Deflate (8 and the old 32946) plus CCITT fax for bilevel strips
 (Modified Huffman =2, Group 3 1-D =3, Group 4 MMR =4 via imgops/g4.py),
 photometric WhiteIsZero / BlackIsZero / RGB / Palette, 8-bit samples
-plus 1-bit bilevel, horizontal-differencing predictor, extra samples
-(alpha) dropped.  Tiled layout, G3-2-D/uncompressed fax extensions,
-JPEG-in-TIFF, 16-bit and planar-sub-sampled exotics raise ``TiffError``
-— those rows become counted error records upstream, never task
-failures.
+plus 1-bit bilevel, horizontal-differencing predictor (restarting per
+strip/tile row), extra samples (alpha) dropped, and TILED layout (tags
+322-325, zero-padded edge tiles, same compression set incl. fax
+tiles).  G3/G4 uncompressed-mode extensions, JPEG-in-TIFF, 16-bit and
+planar-sub-sampled exotics raise ``TiffError`` — those rows become
+counted error records upstream, never task failures.
 
 The reference accepts TIFF implicitly through cv2.imdecode
 (/root/reference/src/img2table/document/image.py:25-32, libtiff under
@@ -220,8 +221,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             return default
         return v[0]
 
-    if 322 in tags or 324 in tags:
-        raise TiffError("tiled TIFF unsupported")
+    tiled = 322 in tags or 324 in tags
     if one(266, default=1) != 1:
         raise TiffError("FillOrder 2 unsupported")
 
@@ -237,15 +237,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if width <= 0 or height <= 0 or width * height > 1 << 28:
         raise TiffError(f"unreasonable TIFF dimensions {width}x{height}")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None:
-        raise TiffError("missing StripOffsets")
-    if counts is None:
-        if len(offsets) == 1 and compression == 1:
-            counts = [len(data) - offsets[0]]  # tolerated: single raw strip
-        else:
-            raise TiffError("missing StripByteCounts")
+    if tiled:
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if offsets is None or counts is None:
+            raise TiffError("missing TileOffsets/TileByteCounts")
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None:
+            raise TiffError("missing StripOffsets")
+        if counts is None:
+            if len(offsets) == 1 and compression == 1:
+                counts = [len(data) - offsets[0]]  # tolerated: 1 raw strip
+            else:
+                raise TiffError("missing StripByteCounts")
 
     if any(b != bits[0] for b in bits):
         raise TiffError(f"heterogeneous BitsPerSample {bits}")
@@ -258,6 +264,110 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise TiffError(f"unsupported Predictor {predictor}")
     if predictor == 2 and depth != 8:
         raise TiffError("Predictor 2 requires 8-bit samples")
+
+    def _fax_decoder():
+        from img2table_ray.imgops.g4 import (g3_1d_decode, g3_2d_decode,
+                                             g4_decode, mh_decode)
+
+        t4opts = one(292, default=0)
+        if compression == 3 and (t4opts & 0b10):
+            raise TiffError("G3 uncompressed extension unsupported")
+        if compression == 4 and (one(293, default=0) & 0b10):
+            raise TiffError("G4 uncompressed extension unsupported")
+        dec = {2: mh_decode, 3: g3_1d_decode, 4: g4_decode}[compression]
+        if compression == 3 and (t4opts & 0b1):
+            dec = g3_2d_decode  # T.4 2-D extension (tagged lines)
+        return dec
+
+    if tiled:
+        from img2table_ray.imgops.g4 import FaxError
+
+        tile_w = one(322)
+        tile_len = one(323)
+        if tile_w <= 0 or tile_len <= 0:
+            raise TiffError("bad tile geometry")
+        ta = -(-width // tile_w)
+        td = -(-height // tile_len)
+        tiles_per_plane = ta * td
+        n_planes = spp if planar == 2 else 1
+        if len(offsets) < tiles_per_plane * n_planes:
+            raise TiffError("tile count mismatch")
+
+        if depth == 1:
+            canvas = np.zeros((td * tile_len, ta * tile_w), np.uint8)
+            tile_row_bytes = -(-tile_w // 8)
+            dec = _fax_decoder() if compression in (2, 3, 4) else None
+            for t in range(tiles_per_plane):
+                off, cnt = offsets[t], counts[t]
+                ty, tx = divmod(t, ta)
+                if dec is not None:
+                    try:
+                        bits_t = dec(data[off : off + cnt], tile_w, tile_len)
+                    except FaxError as err:
+                        raise TiffError(f"bad fax tile: {err}") from err
+                else:
+                    expected = tile_len * tile_row_bytes
+                    raw = _decompress(data[off : off + cnt], compression,
+                                      expected)
+                    if len(raw) < expected:
+                        raise TiffError("short tile data")
+                    packed = np.frombuffer(raw[:expected], np.uint8)
+                    bits_t = np.unpackbits(
+                        packed.reshape(tile_len, tile_row_bytes),
+                        axis=1)[:, :tile_w]
+                canvas[ty * tile_len : (ty + 1) * tile_len,
+                       tx * tile_w : (tx + 1) * tile_w] = bits_t
+            bits_arr = canvas[:height, :width]
+            gray = (bits_arr * np.uint8(255)) if photometric == 1 else (
+                (1 - bits_arr) * np.uint8(255))
+            return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
+
+        chan = spp if planar == 1 else 1
+
+        def read_plane_tiled(plane: int) -> np.ndarray:
+            canvas = np.zeros((td * tile_len, ta * tile_w, chan), np.uint8)
+            expected = tile_len * tile_w * chan
+            for t in range(tiles_per_plane):
+                idx = plane * tiles_per_plane + t
+                off, cnt = offsets[idx], counts[idx]
+                raw = _decompress(data[off : off + cnt], compression,
+                                  expected)
+                if len(raw) < expected:
+                    raise TiffError("short tile data")
+                a = np.frombuffer(raw[:expected], np.uint8).reshape(
+                    tile_len, tile_w, chan)
+                if predictor == 2:
+                    # horizontal differencing restarts at each TILE row
+                    a = np.cumsum(a, axis=1, dtype=np.uint8)
+                ty, tx = divmod(t, ta)
+                canvas[ty * tile_len : (ty + 1) * tile_len,
+                       tx * tile_w : (tx + 1) * tile_w] = a
+            return canvas[:height, :width]
+
+        if planar == 2:
+            img = np.concatenate([read_plane_tiled(p) for p in range(spp)],
+                                 axis=2)
+        else:
+            img = read_plane_tiled(0)
+        if photometric in (0, 1):
+            g = img[:, :, 0]
+            if photometric == 0:
+                g = 255 - g
+            return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+        if photometric == 2:
+            if spp < 3:
+                raise TiffError("RGB TIFF with fewer than 3 samples")
+            return np.ascontiguousarray(img[:, :, :3])
+        if photometric == 3:
+            cmap = tags.get(320)
+            if cmap is None or len(cmap) < 3 * (1 << depth):
+                raise TiffError("missing/short ColorMap")
+            n = 1 << depth
+            lut = (np.array(cmap[: 3 * n], np.uint16).reshape(3, n).T >> 8
+                   ).astype(np.uint8)
+            return lut[img[:, :, 0]]
+        raise TiffError(
+            f"unsupported PhotometricInterpretation {photometric}")
 
     strips_per_plane = -(-height // rows_per_strip)
     n_planes = spp if planar == 2 else 1
@@ -287,22 +397,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if depth == 1:
         if compression in (2, 3, 4):
             # CCITT fax strips decode straight to pixel rows (T.4/T.6)
-            from img2table_ray.imgops.g4 import (
-                FaxError,
-                g3_1d_decode,
-                g3_2d_decode,
-                g4_decode,
-                mh_decode,
-            )
+            from img2table_ray.imgops.g4 import FaxError
 
-            t4opts = one(292, default=0)
-            if compression == 3 and (t4opts & 0b10):
-                raise TiffError("G3 uncompressed extension unsupported")
-            if compression == 4 and (one(293, default=0) & 0b10):
-                raise TiffError("G4 uncompressed extension unsupported")
-            dec = {2: mh_decode, 3: g3_1d_decode, 4: g4_decode}[compression]
-            if compression == 3 and (t4opts & 0b1):
-                dec = g3_2d_decode  # T.4 2-D extension (tagged lines)
+            dec = _fax_decoder()
             rows = []
             for s in range(strips_per_plane):
                 off, cnt = offsets[s], counts[s]
@@ -389,8 +486,11 @@ _COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 def encode_tiff(arr: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None,
-                predictor: bool = False, big_endian: bool = False) -> bytes:
-    """Encode (H,W) gray or (H,W,3) RGB uint8 -> chunky strip TIFF."""
+                predictor: bool = False, big_endian: bool = False,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Encode (H,W) gray or (H,W,3) RGB uint8 -> chunky TIFF; strip layout
+    by default, tiled layout when ``tile=(tile_w, tile_len)`` (partial
+    edge tiles zero-padded to full tile size per TIFF 6.0)."""
     if compression not in _COMP_IDS:
         raise TiffError(f"unknown compression {compression!r}")
     if arr.ndim == 2:
@@ -400,22 +500,33 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     rps = rows_per_strip or h
     bo = ">" if big_endian else "<"
 
-    strips = []
-    for y0 in range(0, h, rps):
-        raw_arr = arr[y0 : y0 + rps]
+    def _chunk_bytes(raw_arr: np.ndarray) -> bytes:
         if predictor:
             d = raw_arr.astype(np.int16)
             d[:, 1:] -= raw_arr[:, :-1].astype(np.int16)
             raw_arr = (d & 0xFF).astype(np.uint8)
         raw = raw_arr.tobytes()
         if compression == "none":
-            strips.append(raw)
-        elif compression == "packbits":
-            strips.append(packbits(raw))
-        elif compression == "lzw":
-            strips.append(lzw_encode_tiff(raw))
-        else:
-            strips.append(zlib.compress(raw, 6))
+            return raw
+        if compression == "packbits":
+            return packbits(raw)
+        if compression == "lzw":
+            return lzw_encode_tiff(raw)
+        return zlib.compress(raw, 6)
+
+    strips = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise TiffError("tile dimensions must be multiples of 16")
+        pad = np.zeros((-(-h // tl) * tl, -(-w // tw) * tw, spp), np.uint8)
+        pad[:h, :w] = arr
+        for ty in range(0, pad.shape[0], tl):
+            for tx in range(0, pad.shape[1], tw):
+                strips.append(_chunk_bytes(pad[ty : ty + tl, tx : tx + tw]))
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(_chunk_bytes(arr[y0 : y0 + rps]))
 
     entries = []  # (tag, type, count, values)
     entries.append((256, 4, 1, [w]))
@@ -423,15 +534,21 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     entries.append((258, 3, spp, [8] * spp))
     entries.append((259, 3, 1, [_COMP_IDS[compression]]))
     entries.append((262, 3, 1, [photometric]))
-    # 273 StripOffsets filled after layout
+    # offsets tag (273 strips / 324 tiles) filled after layout
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 4, 1, [rps]))
-    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    if tile is not None:
+        entries.append((322, 3, 1, [tile[0]]))
+        entries.append((323, 3, 1, [tile[1]]))
+        entries.append((325, 4, len(strips), [len(s) for s in strips]))
+    else:
+        entries.append((278, 4, 1, [rps]))
+        entries.append((279, 4, len(strips), [len(s) for s in strips]))
     if predictor:
         entries.append((317, 3, 1, [2]))
+    off_tag = 324 if tile is not None else 273
 
     n_strips = len(strips)
-    all_tags = sorted([e[0] for e in entries] + [273])
+    all_tags = sorted([e[0] for e in entries] + [off_tag])
     n_entries = len(all_tags)
     header = 8
     ifd_size = 2 + 12 * n_entries + 4
@@ -470,12 +587,12 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
     out += (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, 8)
     out += struct.pack(bo + "H", n_entries)
     for tag in all_tags:
-        if tag == 273:
+        if tag == off_tag:
             if off_entry_pos is None:
                 val = struct.pack(bo + "I", strip_positions[0])
             else:
                 val = struct.pack(bo + "I", off_entry_pos)
-            out += struct.pack(bo + "HHI", 273, 4, n_strips) + val
+            out += struct.pack(bo + "HHI", off_tag, 4, n_strips) + val
         else:
             ftype, count, buf = packed[tag]
             if len(buf) > 4:

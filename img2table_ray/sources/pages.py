@@ -92,6 +92,71 @@ def synth_table_image(n_rows: int, n_cols: int, idx: int):
 _SYNTH_SHAPES = [(3, 3), (4, 2), (5, 4), (2, 5), (6, 3)]
 
 
+def synth_table_pdf(n_rows: int, n_cols: int, idx: int) -> bytes:
+    """TWO-page vector PDF, one bordered table per page, with a real
+    native text layer (no hOCR sidecar — the pipeline's extractor falls
+    back to the PDF text layer).  Geometry mirrors
+    :func:`synth_table_image` in device pixels: 1 pt = 200/72 px, so the
+    same px sizes are authored at ``px * 0.36`` pt.  Deterministic in
+    (n_rows, n_cols, idx).  Exercises, at bench scale: PDF page-count
+    explode, the vector rasterizer, and text-layer word extraction."""
+    S = 0.36  # px -> pt at 200 DPI
+    cell_w, cell_h = 90 * S, 40 * S
+    lw = 2 * S
+    mx = (30 + (idx * 7) % 23) * S
+    my = (30 + (idx * 11) % 19) * S
+    w_pt = mx * 2 + cell_w * n_cols
+    h_pt = my * 2 + cell_h * n_rows
+    fs = 6.0  # Courier @600/1000: 6 chars = 21.6 pt = 60 px per word
+
+    def page_content(p: int) -> bytes:
+        out = ["0 0 0 rg"]
+        x0, y_top = mx, h_pt - my
+        # grid (matches the PNG generator's 2px rules)
+        for r in range(n_rows + 1):
+            y = y_top - r * cell_h - lw
+            out.append(f"{x0:.2f} {y:.2f} {n_cols * cell_w + lw:.2f} {lw:.2f} re f")
+        for c in range(n_cols + 1):
+            x = x0 + c * cell_w
+            out.append(f"{x:.2f} {y_top - n_rows * cell_h - lw:.2f} {lw:.2f} "
+                       f"{n_rows * cell_h + lw:.2f} re f")
+        for r in range(n_rows):
+            for c in range(n_cols):
+                tx = x0 + c * cell_w + 10 * S
+                ty = y_top - r * cell_h - 26 * S  # baseline inside the cell
+                val = f"r{r}c{c}v{(idx + p * 31 + r * n_cols + c) % 97}"
+                out.append(f"BT /F1 {fs} Tf {tx:.2f} {ty:.2f} Td ({val}) Tj ET")
+        return " ".join(out).encode()
+
+    mb = f"[0 0 {w_pt:.2f} {h_pt:.2f}]".encode()
+    res = b"<< /Font << /F1 8 0 R >> >>"
+    widths = b"[" + b" ".join([b"600"] * 95) + b"]"
+    c0, c1 = page_content(0), page_content(1)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox " + mb
+            + b" /Contents 5 0 R /Resources " + res + b" >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox " + mb
+            + b" /Contents 6 0 R /Resources " + res + b" >>"),
+        5: (b"<< /Length " + str(len(c0)).encode() + b" >>\nstream\n" + c0
+            + b"\nendstream"),
+        6: (b"<< /Length " + str(len(c1)).encode() + b" >>\nstream\n" + c1
+            + b"\nendstream"),
+        7: (b"<< /Type /FontDescriptor /FontName /Courier /Flags 33"
+            b" /FontBBox [-23 -250 715 805] /ItalicAngle 0 /Ascent 750"
+            b" /Descent -250 /CapHeight 562 /StemV 51 >>"),
+        8: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /FirstChar 32 /LastChar 126 /Widths " + widths
+            + b" /FontDescriptor 7 0 R >>"),
+    }
+    parts = [b"%PDF-1.4"]
+    for num in sorted(objs):
+        parts.append(b"%d 0 obj\n" % num + objs[num] + b"\nendobj")
+    parts.append(b"%%EOF")
+    return b"\n".join(parts)
+
+
 def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
                    rows_per_file: int = 384) -> str:
     """Write pages/ + words/ parquet under out_dir; returns out_dir.
@@ -99,13 +164,15 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     Row i: i % 8 in {0,1,2} -> a reference fixture (replicated; exercises
     the memo-cache path); i % 16 == 7 -> a heavy MULTI-PAGE document (MPNG
     container, 3 unique pages — exercises the 1-doc -> N-page-rows explode
-    and the size-aware skew routing); i % 16 == 11 -> a baseline-JPEG page
-    (web crawls are mostly JPEG; exercises the JPEG decode path in every
-    run); i % 16 == 12 -> TIFF (alternating LZW+predictor strips and
-    bilevel CCITT fax scans, G4 MMR / G3 2-D); i % 16 ==
-    13 -> GIF; i % 16 == 14 -> WebP lossless (VP8L, subtract-green +
-    LZ77); else a UNIQUE synthetic grid PNG.  A minority slice gets
-    lang='de' for predicate-pushdown tests."""
+    and the size-aware skew routing); i % 16 == 15 -> a TWO-page native
+    vector PDF (no hOCR: per-page explode by page count, the 200-DPI
+    vector rasterizer, and text-layer words all run at bench scale);
+    i % 16 == 11 -> a baseline-JPEG page (web crawls are mostly JPEG;
+    exercises the JPEG decode path in every run); i % 16 == 12 -> TIFF
+    (alternating LZW+predictor strips and bilevel CCITT fax scans, G4
+    MMR / G3 2-D); i % 16 == 13 -> GIF; i % 16 == 14 -> WebP lossless
+    (VP8L, subtract-green + LZ77); else a UNIQUE synthetic grid PNG.  A
+    minority slice gets lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
     # Python, paid once per actor otherwise).
@@ -134,6 +201,11 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
                 hocrs.append((k, hocr))
             return ("multi", encode_mpng(pages_png), hocrs)
         shape = _SYNTH_SHAPES[i % len(_SYNTH_SHAPES)]
+        if i % 16 == 15:
+            # native two-page vector PDF: no hOCR sidecar — the pipeline
+            # explodes by page count and reads the PDF's own text layer
+            return (f"pdf{shape[0]}x{shape[1]}",
+                    synth_table_pdf(shape[0], shape[1], i), [])
         g, hocr = synth_table_image(shape[0], shape[1], i)
         if i % 16 == 11:
             from img2table_ray.imgops.jpeg import encode_jpeg

@@ -111,6 +111,29 @@ def test_tiff_roundtrip_gray_rgb(comp):
                 assert np.array_equal(dec, exp), (shape, comp, pred, be)
 
 
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw", "deflate"])
+def test_tiff_tiled_roundtrip(comp):
+    """Tiled layout (tags 322-325): partial edge tiles zero-padded, the
+    predictor restarts per tile row, both byte orders."""
+    rng = np.random.default_rng(11)
+    for shape, tile in [((37, 53), (16, 16)), ((64, 48, 3), (16, 32)),
+                        ((100, 90, 3), (48, 16))]:
+        base = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for pred in (False, True):
+            for be in (False, True):
+                enc = encode_tiff(base, compression=comp, predictor=pred,
+                                  big_endian=be, tile=tile)
+                dec = decode_tiff(enc)
+                exp = (base if base.ndim == 3
+                       else np.repeat(base[:, :, None], 3, axis=2))
+                assert np.array_equal(dec, exp), (shape, comp, pred, be)
+
+
+def test_tiff_tiled_rejects_bad_tile_size():
+    with pytest.raises(TiffError):
+        encode_tiff(np.zeros((32, 32), np.uint8), tile=(20, 16))
+
+
 def test_tiff_lzw_table_reset():
     # >4094 codes forces the encoder's CLEAR-reset path
     rng = np.random.default_rng(0)
