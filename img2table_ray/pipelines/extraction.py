@@ -113,11 +113,22 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     """Build the lazy extraction Dataset (no sink).
 
     ``keep_parts`` / ``skip_parts`` select input shards at the READ — the
-    excluded shards are never opened.  ``join_words=False`` broadcasts the
-    words sidecar via ``ray.put`` (the small-side fast path);
-    ``join_words=True`` uses a hash-partitioned ``Dataset.join`` on
-    (url, page) — the 100 TB path where the OCR-words table is as large as
-    the pages table and cannot be broadcast."""
+    excluded shards are never opened.  Word-provider attachment has three
+    modes:
+
+    * ``join_words=False`` — broadcast the sidecar via ``ray.put``
+      (small-side fast path; fine while the words table fits one worker).
+    * ``join_words=True`` / ``"service"`` — the 100 TB path: a
+      PARTITIONED LOOKUP SERVICE (``state/words_service.py``).  Only the
+      words shuffle (into K shard actors); pages — whose rows carry the
+      full document bytes — never move, and each extraction batch
+      bulk-fetches exactly its keys' hOCR strings.
+    * ``join_words="shuffle"`` — the literal hash-partitioned
+      ``Dataset.join`` on (url, page), kept for comparison: it moves
+      every page row's ``html`` payload through the shuffle to meet a
+      few-KB string (measured sf0.1 @32: the join alone costs ~34 s on
+      inputs that take 2.7 s to produce; the service path removes that
+      entirely)."""
     shards = input_shards(pages_dir)
     parts = set(range(len(shards)))
     if skip_parts:
@@ -144,7 +155,13 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
     ds = ds.map_batches(segregate_by_weight, batch_format="pyarrow")
 
     words_ref = None
-    if words_dir is not None and join_words:
+    words_service = None
+    if words_dir is not None and join_words in (True, "service"):
+        from img2table_ray.state.words_service import build_words_service
+
+        words_service = build_words_service(
+            words_dir, num_shards=max(2, actor_concurrency() // 4))
+    elif words_dir is not None and join_words == "shuffle":
         words_ds = ray.data.read_parquet(words_dir)
         # The join's output partition count IS the downstream extraction's
         # block count (one map task per block), so its sizing has two
@@ -202,6 +219,7 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
             "token": token,
             "ctor": {
                 "words_ref": words_ref,
+                "words_service": words_service,
                 "implicit_rows": implicit_rows,
                 "borderless": borderless,
                 "cache_handle": cache_handle,

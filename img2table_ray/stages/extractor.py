@@ -136,7 +136,8 @@ class PageExtractor:
     """Actor-pool UDF: pyarrow batch of pages rows -> pyarrow batch of
     extracted-table rows (OUTPUT_SCHEMA)."""
 
-    def __init__(self, words_ref=None, implicit_rows: bool = True,
+    def __init__(self, words_ref=None, words_service=None,
+                 implicit_rows: bool = True,
                  borderless: bool = False, min_confidence: int = 50,
                  cache_handle=None, stats_handle=None) -> None:
         # Once-per-actor setup: broadcast word lookup + decode memo cache +
@@ -155,6 +156,7 @@ class PageExtractor:
         except Exception:
             pass
         self._words: dict = ray.get(words_ref) if words_ref is not None else {}
+        self._words_service = words_service
         self._decode_cache: dict = {}
         self._extract_cache: dict = {}
         self._cache = cache_handle
@@ -266,10 +268,15 @@ class PageExtractor:
                  else [0] * len(batch))
         parts = (batch["part"].to_pylist() if "part" in batch.schema.names
                  else [0] * len(batch))
-        # words either arrive as a joined column (hash-join path) or via the
-        # broadcast lookup (small-side path)
+        # words arrive one of three ways: a joined column (shuffle-join
+        # path), a bulk fetch from the partitioned lookup service (the
+        # 100 TB path — one get_many RPC per touched shard per batch), or
+        # the broadcast lookup (small-side path)
         if "hocr" in batch.schema.names:
             hocr_list = batch["hocr"].to_pylist()
+        elif self._words_service is not None:
+            hocr_list = self._words_service.fetch(
+                [(u, int(p)) for u, p in zip(urls, pages)])
         else:
             hocr_list = [self._words.get((u, p)) for u, p in zip(urls, pages)]
         out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}

@@ -181,18 +181,25 @@ def test_multipage_explode_and_pdf_rows(ray_session):
     assert bad["status"].tolist() == ["error"]
 
 
-def test_words_hash_join_matches_broadcast(ray_session, corpus):
-    """The 100 TB words path (hash-partitioned Dataset.join on (url, page))
-    produces output identical to the broadcast small-side path."""
+def test_words_paths_all_match_broadcast(ray_session, corpus):
+    """All word-provider attachments agree: the partitioned lookup
+    service (the 100 TB path — only the words shuffle, pages never move)
+    and the literal hash-partitioned Dataset.join both reproduce the
+    broadcast small-side output byte-for-byte."""
     from img2table_ray.pipelines.extraction import extract_pages
 
     key = ["url", "page", "table_idx"]
     cols = key + ["extracted_text", "status"]
     a = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words").to_pandas()
          .sort_values(key).reset_index(drop=True))
-    b = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words", join_words=True)
-         .to_pandas().sort_values(key).reset_index(drop=True))
-    pd.testing.assert_frame_equal(a[cols], b[cols])
+    svc = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words",
+                         join_words=True)
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], svc[cols])
+    shj = (extract_pages(CORPUS, words_dir=f"{CORPUS}/words",
+                         join_words="shuffle")
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], shj[cols])
 
 
 def test_shared_cache_opt_in_matches_default(ray_session, corpus, monkeypatch):
