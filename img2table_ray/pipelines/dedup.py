@@ -117,6 +117,48 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
 
 
+def _slot_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within-bucket pairs for EVERY (band, band_hash) bucket hashed into
+    this slot.  One Python call handles thousands of buckets: grouping by
+    a coarse slot key instead of the bucket key cut map_groups' per-group
+    UDF overhead from ~38k calls to ``pair_slots()`` calls (measured
+    4.8 s -> 0.6 s on the sf0.1 stage); bucket semantics (dedup, sort,
+    MAX_BUCKET hot-key cap) are unchanged and pinned by the oracle."""
+    if not len(group):
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64")})
+    codes, _ = pd.factorize(
+        group["band"].astype(str) + "\x1f" + group["band_hash"].astype(str),
+        sort=False)
+    df = pd.DataFrame({"code": codes, "doc_id": group["doc_id"].to_numpy()})
+    df = df.drop_duplicates()
+    counts = df["code"].value_counts()
+    hot = counts[counts >= 2].index
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    sub = df[df["code"].isin(hot)].sort_values(["code", "doc_id"])
+    for _, g in sub.groupby("code", sort=False):
+        ids = g["doc_id"].to_numpy()[:MAX_BUCKET]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                             "doc_id_b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
+                         "doc_id_b": np.concatenate(out_b)})
+
+
+def pair_slots() -> int:
+    """Slot count for the coarse-bucket pair stage: scales with cluster
+    CPUs (parallelism) — and on a real deployment should additionally be
+    floored by corpus_bytes / target_group_bytes so one slot's rows
+    (corpus x bands / slots) stay addressable in a single pandas group."""
+    from img2table_ray.stages.util import actor_concurrency
+
+    return 4 * actor_concurrency()
+
+
 def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     """Distinct candidate near-dup pairs (doc_id_a < doc_id_b) from MinHash-LSH.
 
@@ -139,9 +181,25 @@ def minhash_lsh_pairs(sf_dir: str) -> ray.data.Dataset:
     # corpus); width derived from cluster size, never a hardcode
     from img2table_ray.stages.util import shuffle_width
 
-    pairs = exploded.repartition(shuffle_width()).groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    # group by a COARSE deterministic slot of the bucket key, not the
+    # bucket key itself: map_groups invokes its UDF once per group, and
+    # per-(band, band_hash) grouping meant ~38k Python calls on tiny
+    # buckets (4.8 s of the 10.6 s pipeline at sf0.1).  _slot_pairs
+    # recovers exact bucket semantics vectorized inside each slot.
+    n_slots = pair_slots()
+
+    def tag_slot(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(b["band_hash"].to_numpy(object))
+        b = b.copy()
+        b["slot"] = ((h ^ (b["band"].to_numpy(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15)))
+                     % np.uint64(n_slots)).astype(np.int64)
+        return b
+
+    pairs = (exploded.map_batches(tag_slot, batch_format="pandas")
+             .repartition(shuffle_width())
+             .groupby("slot")
+             .map_groups(_slot_pairs, batch_format="pandas"))
     # per-batch combiner: a pair found in several bands usually lands in the
     # same output batch — drop duplicates BEFORE the distinct shuffle
     pairs = pairs.map_batches(
@@ -357,6 +415,25 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
     exploded = sims.map_batches(explode_chunks, batch_format="pandas")
 
+    def slot_chunk_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verified pairs for every (chunk, chunk_val) bucket
+        hashed into this slot (coarse-slot grouping: one UDF call covers
+        thousands of buckets — see _slot_pairs)."""
+        df = group.drop_duplicates(["code", "doc_id"])
+        counts = df["code"].value_counts()
+        hot = counts[counts >= 2].index
+        outs = []
+        sub = df[df["code"].isin(hot)].sort_values(["code", "doc_id"])
+        for _, g in sub.groupby("code", sort=False):
+            outs.append(chunk_pairs(g))
+        if not outs:
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series(dtype="int64"),
+                 "doc_id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
     def chunk_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()[:MAX_BUCKET]
@@ -378,9 +455,22 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 
     from img2table_ray.stages.util import shuffle_width
 
-    pairs = exploded.repartition(shuffle_width()).groupby(["chunk", "chunk_val"]).map_groups(
-        chunk_pairs, batch_format="pandas"
-    )
+    # coarse-slot grouping (see minhash_lsh_pairs): the bucket key
+    # (chunk, chunk_val) is a small integer, so the slot is exact modulo
+    # arithmetic — no string hashing needed
+    n_slots = pair_slots()
+
+    def tag_slot(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["code"] = b["chunk"].to_numpy(np.int64) * 32768 + b[
+            "chunk_val"].to_numpy(np.int64)
+        b["slot"] = b["code"] % n_slots
+        return b
+
+    pairs = (exploded.map_batches(tag_slot, batch_format="pandas")
+             .repartition(shuffle_width())
+             .groupby("slot")
+             .map_groups(slot_chunk_pairs, batch_format="pandas"))
     from ray.data.aggregate import Min as _Min
 
     return (
