@@ -126,6 +126,14 @@ def run_suite() -> dict:
         runs = _timed_headline_runs(qs, repeats=2)
         per_query["extract_tables"] = min(runs)
         headline_runs = runs
+        # joined-words variant measured in the SAME clean session (it is
+        # the same pipeline + the words service; measuring it after the
+        # dedup suite's shuffles was charging it ~2x of session churn)
+        if "extract_tables_joined" in qs:
+            t = time.perf_counter()
+            _consume(qs["extract_tables_joined"](SF_DIR))
+            per_query["extract_tables_joined"] = round(
+                time.perf_counter() - t, 3)
         ray.shutdown()
         import pyarrow.parquet as pq
 
@@ -136,8 +144,8 @@ def run_suite() -> dict:
     ray = _init_ray()
     _consume(qs[names[0]](SF_DIR))  # warm the worker pool
     for name in names:
-        if name == "extract_tables":
-            continue
+        if name in per_query:
+            continue  # measured in the clean headline session above
         t = time.perf_counter()
         _consume(qs[name](SF_DIR))
         per_query[name] = round(time.perf_counter() - t, 3)
