@@ -591,14 +591,15 @@ def predict_b(mode: int, above8: np.ndarray, left: np.ndarray,
 
 
 def _decode_coeffs(bd: BoolDecoder, probs: np.ndarray, btype: int,
-                   first: int, ctx: int) -> tuple[np.ndarray, bool]:
+                   first: int, ctx: int):
     """Decode one 4x4 block's quantized levels (zigzag order undone).
-    Returns (levels[16] int32 in raster order, had_nonzero)."""
-    levels = np.zeros(16, np.int32)
+    Returns (levels[16] int32 raster order or None when all-zero,
+    had_nonzero) — the all-zero fast path (immediate EOB, the common
+    case in smooth regions) allocates nothing."""
+    levels = None
     tprobs = probs[btype]
-    c = firstx = first
+    c = first
     skip_eob = False
-    nonzero = False
     while c < 16:
         p = tprobs[COEFF_BANDS[c]][ctx]
         i = 2 if skip_eob else 0
@@ -624,13 +625,13 @@ def _decode_coeffs(bd: BoolDecoder, probs: np.ndarray, btype: int,
             val = CAT_BASE[cat] + extra
         if bd.bool(128):
             val = -val
+        if levels is None:
+            levels = np.zeros(16, np.int32)
         levels[ZIGZAG[c]] = val
-        nonzero = True
         ctx = 1 if token == DCT_1 else 2
         skip_eob = False
         c += 1
-    del firstx
-    return levels, nonzero
+    return levels, levels is not None
 
 
 def _encode_coeffs(be: BoolEncoder, probs, counts, btype: int, first: int,
@@ -1079,26 +1080,38 @@ class _Recon:
         return above8, left, tl
 
     def recon_mb(self, mby: int, mbx: int, ymode: int, bmodes, uvmode: int,
-                 ycoef, ucoef, vcoef) -> None:
+                 ycoef=None, ucoef=None, vcoef=None,
+                 res_y=None, res_u=None, res_v=None) -> None:
+        """Rebuild one MB.  Residuals may be passed precomputed
+        (``res_y`` (16,4,4), ``res_u``/``res_v`` (4,4,4)) — the decoder
+        batches every block's IDCT into one vectorized call per frame;
+        the math is identical either way (idct4x4 is elementwise over
+        leading axes), so encoder recon and decoder output stay
+        bit-exact."""
         py, px = 1 + mby * 16, 1 + mbx * 16
         Y = self.y
+        if res_y is None:
+            res_y = idct4x4(ycoef.reshape(16, 4, 4))
         if ymode == B_PRED:
-            res = idct4x4(ycoef.reshape(16, 4, 4))
             for i in range(16):
                 r, c = divmod(i, 4)
                 above8, left, tl = self._bpred_ctx(mby, mbx, r, c)
                 pred = predict_b(bmodes[i], above8, left, tl)
                 yy, xx = py + 4 * r, px + 4 * c
-                Y[yy : yy + 4, xx : xx + 4] = np.clip(pred + res[i], 0, 255)
+                Y[yy : yy + 4, xx : xx + 4] = np.clip(pred + res_y[i],
+                                                      0, 255)
         else:
             pred = predict_block(Y, py, px, 16, ymode, mby > 0, mbx > 0)
-            res = idct4x4(ycoef.reshape(16, 4, 4))
-            res16 = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+            res16 = res_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(
+                16, 16)
             Y[py : py + 16, px : px + 16] = np.clip(pred + res16, 0, 255)
         pcy, pcx = 1 + mby * 8, 1 + mbx * 8
-        for plane, coef in ((self.u, ucoef), (self.v, vcoef)):
+        if res_u is None:
+            res_u = idct4x4(ucoef.reshape(4, 4, 4))
+        if res_v is None:
+            res_v = idct4x4(vcoef.reshape(4, 4, 4))
+        for plane, res in ((self.u, res_u), (self.v, res_v)):
             pred = predict_block(plane, pcy, pcx, 8, uvmode, mby > 0, mbx > 0)
-            res = idct4x4(coef.reshape(4, 4, 4))
             res8 = res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
             plane[pcy : pcy + 8, pcx : pcx + 8] = np.clip(pred + res8, 0, 255)
 
@@ -1189,55 +1202,71 @@ class _NzCtx:
 
 
 def _decode_mb_levels(bd: BoolDecoder, probs, ctx: _NzCtx, mbx: int,
-                      has_y2: bool):
-    """Token-decode one MB's quantized levels (raster order).  Returns
-    (levels_y (16,16), levels_y2 (16,) or None, levels_u (4,16),
-    levels_v (4,16), any_nonzero)."""
+                      has_y2: bool, out_y, out_y2, out_u, out_v) -> bool:
+    """Token-decode one MB's quantized levels into the caller's
+    (pre-zeroed) raster-order arrays; all-zero blocks write nothing.
+    Returns any_nonzero."""
     any_nz = False
-    ly2 = None
     if has_y2:
         c = int(ctx.a_y2[mbx] + ctx.l_y2)
-        ly2, nz = _decode_coeffs(bd, probs, 1, 0, min(c, 2))
+        blk, nz = _decode_coeffs(bd, probs, 1, 0, min(c, 2))
+        if blk is not None:
+            out_y2[:] = blk
         ctx.a_y2[mbx] = ctx.l_y2 = int(nz)
         any_nz |= nz
-    ly = np.zeros((16, 16), np.int32)
     btype, first = (0, 1) if has_y2 else (3, 0)
+    a_y, l_y = ctx.a_y, ctx.l_y
     for r in range(4):
         for cc in range(4):
-            cv = int(ctx.a_y[mbx, cc] + ctx.l_y[r])
-            lv, nz = _decode_coeffs(bd, probs, btype, first, min(cv, 2))
-            ly[r * 4 + cc] = lv
-            ctx.a_y[mbx, cc] = ctx.l_y[r] = int(nz)
+            cv = int(a_y[mbx, cc] + l_y[r])
+            blk, nz = _decode_coeffs(bd, probs, btype, first, min(cv, 2))
+            if blk is not None:
+                out_y[r * 4 + cc] = blk
+            a_y[mbx, cc] = l_y[r] = int(nz)
             any_nz |= nz
-    lu = np.zeros((4, 16), np.int32)
-    lv_ = np.zeros((4, 16), np.int32)
-    for dst, a, l_ in ((lu, ctx.a_u, ctx.l_u), (lv_, ctx.a_v, ctx.l_v)):
+    for dst, a, l_ in ((out_u, ctx.a_u, ctx.l_u), (out_v, ctx.a_v, ctx.l_v)):
         for r in range(2):
             for cc in range(2):
                 cv = int(a[mbx, cc] + l_[r])
                 blk, nz = _decode_coeffs(bd, probs, 2, 0, min(cv, 2))
-                dst[r * 2 + cc] = blk
+                if blk is not None:
+                    dst[r * 2 + cc] = blk
                 a[mbx, cc] = l_[r] = int(nz)
                 any_nz |= nz
-    return ly, ly2, lu, lv_, any_nz
+    return any_nz
 
 
 def decode_vp8(data: bytes) -> np.ndarray:
-    """VP8 keyframe bitstream -> (H, W, 3) uint8 RGB."""
+    """VP8 keyframe bitstream -> (H, W, 3) uint8 RGB.
+
+    Two passes: (1) sequential bitstream parse of every MB's modes and
+    quantized levels, then ONE vectorized dequant + inverse-WHT + IDCT
+    over all blocks of the frame; (2) sequential intra reconstruction
+    (prediction depends on already-reconstructed neighbours) consuming
+    the precomputed residuals.  Identical integer math to the per-MB
+    path — idct4x4/iwht4x4 vectorize over leading axes."""
     hdr, width, height, bd0, parts = _parse_frame(data)
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
+    n_mb = mb_w * mb_h
     rec = _Recon(mb_w, mb_h)
     probs = hdr.coeff_probs
     ctx = _NzCtx(mb_w)
     inner = np.zeros((mb_h, mb_w), bool)
     mb_levels = np.zeros((mb_h, mb_w), np.int32)
-    # per-segment dequant vectors
     dqvs = [_dq_vectors(dequant_factors(_seg_quant(hdr, s), hdr.qdeltas))
             for s in range(4)]
-    zeros_y = np.zeros((16, 16), np.int32)
-    zeros_uv = np.zeros((4, 16), np.int32)
-    zeros_y2 = np.zeros(16, np.int32)
+
+    # pass 1: parse modes + levels for the whole frame
+    ly = np.zeros((n_mb, 16, 16), np.int32)
+    ly2 = np.zeros((n_mb, 16), np.int32)
+    lu = np.zeros((n_mb, 4, 16), np.int32)
+    lv = np.zeros((n_mb, 4, 16), np.int32)
+    seg_ids = np.zeros(n_mb, np.int32)
+    ymodes = np.zeros(n_mb, np.int32)
+    uvmodes = np.zeros(n_mb, np.int32)
+    all_bmodes: list = [None] * n_mb
+    i = 0
     for mby in range(mb_h):
         ctx.new_row()
         bd_t = parts[mby % len(parts)]
@@ -1247,26 +1276,49 @@ def decode_vp8(data: bytes) -> np.ndarray:
                 seg_id = bd0.tree(SEG_TREE, hdr.seg_tree_probs)
             skip = bool(bd0.bool(hdr.prob_skip)) if hdr.skip_enabled else False
             ymode = bd0.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
-            bmodes = None
             if ymode == B_PRED:
-                bmodes = [bd0.tree(BMODE_TREE, KF_BMODE_PROBS_FLAT)
-                          for _ in range(16)]
+                all_bmodes[i] = [bd0.tree(BMODE_TREE, KF_BMODE_PROBS_FLAT)
+                                 for _ in range(16)]
             uvmode = bd0.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
             has_y2 = ymode != B_PRED
             if skip:
                 ctx.reset_mb(mbx, has_y2)
-                ly, ly2, lu, lv_ = zeros_y, zeros_y2, zeros_uv, zeros_uv
                 any_nz = False
             else:
-                ly, ly2, lu, lv_, any_nz = _decode_mb_levels(
-                    bd_t, probs, ctx, mbx, has_y2)
-                if ly2 is None:
-                    ly2 = zeros_y2
-            ycoef, ucoef, vcoef = _mb_coefficients(
-                ly, ly2, lu, lv_, dqvs[seg_id], has_y2)
-            rec.recon_mb(mby, mbx, ymode, bmodes, uvmode, ycoef, ucoef, vcoef)
+                any_nz = _decode_mb_levels(bd_t, probs, ctx, mbx, has_y2,
+                                           ly[i], ly2[i], lu[i], lv[i])
+            seg_ids[i] = seg_id
+            ymodes[i] = ymode
+            uvmodes[i] = uvmode
             inner[mby, mbx] = any_nz or ymode == B_PRED
             mb_levels[mby, mbx] = _mb_filter_level(hdr, seg_id, ymode)
+            i += 1
+
+    # batched dequant + inverse transforms for the whole frame
+    fac_y1 = np.stack([dqvs[s]["y1"] for s in seg_ids])  # (n, 16)
+    fac_y2 = np.stack([dqvs[s]["y2"] for s in seg_ids])
+    fac_uv = np.stack([dqvs[s]["uv"] for s in seg_ids])
+    ycoef = ly * fac_y1[:, None, :]
+    has_y2_mask = ymodes != B_PRED
+    if has_y2_mask.any():
+        idx = np.nonzero(has_y2_mask)[0]
+        y2c = (ly2[idx] * fac_y2[idx]).reshape(-1, 4, 4)
+        dcs = iwht4x4(y2c).reshape(len(idx), 16)
+        ycoef[idx, :, 0] = dcs
+    res_y = idct4x4(ycoef.reshape(-1, 4, 4)).reshape(n_mb, 16, 4, 4)
+    res_u = idct4x4((lu * fac_uv[:, None, :]).reshape(-1, 4, 4)).reshape(
+        n_mb, 4, 4, 4)
+    res_v = idct4x4((lv * fac_uv[:, None, :]).reshape(-1, 4, 4)).reshape(
+        n_mb, 4, 4, 4)
+
+    # pass 2: sequential intra reconstruction
+    i = 0
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            rec.recon_mb(mby, mbx, int(ymodes[i]), all_bmodes[i],
+                         int(uvmodes[i]), res_y=res_y[i], res_u=res_u[i],
+                         res_v=res_v[i])
+            i += 1
     rec.loop_filter(mb_levels, hdr.sharpness, hdr.simple_filter, inner)
     y = rec.y[1 : 1 + height, 1 : 1 + width]
     u = rec.u[1 : 1 + (height + 1) // 2, 1 : 1 + (width + 1) // 2]

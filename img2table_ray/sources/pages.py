@@ -170,8 +170,9 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     i % 16 == 11 -> a baseline-JPEG page (web crawls are mostly JPEG;
     exercises the JPEG decode path in every run); i % 16 == 12 -> TIFF
     (alternating LZW+predictor strips and bilevel CCITT fax scans, G4
-    MMR / G3 2-D); i % 16 == 13 -> GIF; i % 16 == 14 -> WebP lossless
-    (VP8L, subtract-green + LZ77); else a UNIQUE synthetic grid PNG.  A
+    MMR / G3 2-D); i % 16 == 13 -> GIF; i % 16 == 14 -> WebP, alternating
+    lossless (VP8L, subtract-green + LZ77) and LOSSY (VP8 keyframe —
+    crawl WebP is mostly lossy); else a UNIQUE synthetic grid PNG.  A
     minority slice gets lang='de' for predicate-pushdown tests."""
     # Re-encode fixtures with filter-0 rows: identical pixels, but decode is
     # vectorized (the originals are Paeth-heavy -> ~1.5s/decode in pure
@@ -232,6 +233,16 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
 
             return (f"gif{shape[0]}x{shape[1]}", encode_gif(g), [(0, hocr)])
         if i % 16 == 14:
+            if (i // 16) % 2:
+                # lossy WebP (VP8 keyframe) — crawl WebP is mostly lossy;
+                # small grid keeps the pure-Python encode affordable at
+                # corpus-generation time (decode is what the bench times)
+                from img2table_ray.imgops.vp8 import encode_webp_vp8
+
+                g2, hocr2 = synth_table_image(3, 3, i)
+                data, _recon = encode_webp_vp8(
+                    np.repeat(g2[:, :, None], 3, axis=2), qindex=40)
+                return ("webplossy3x3", data, [(0, hocr2)])
             from img2table_ray.imgops.webp import encode_webp_lossless
 
             return (f"webp{shape[0]}x{shape[1]}",
