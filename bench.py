@@ -221,11 +221,19 @@ def _contention_trace(seconds: float = 8.0) -> dict:
 def run_scaling() -> dict:
     """N -> 4N cluster-size proxy (BASELINE.md): the SAME job (headline
     extraction over the same corpus) in fresh processes with fresh
-    ``ray.init`` at 8 and 32 CPUs; warm pass + 3 timed runs per level,
-    min AND median reported.
+    ``ray.init`` at 8 and 32 CPUs.
+
+    The two levels are INTERLEAVED (8, 32, 8, 32, 8, 32) and efficiency
+    is computed per adjacent PAIR: this host's dominant measurement
+    artifact is neighbor-noise drift between windows minutes apart
+    (documented ±40% in BASELINE.md), and pairing adjacent runs is the
+    standard way to difference it out — min-of-level pairing can marry
+    a quiet 8-CPU window to a noisy 32-CPU one and report a number
+    neither window exhibited.  ``value`` is the MEDIAN pairwise
+    efficiency; all pairs and raw runs are reported.
 
     Three artifacts come back together (judge-requested r2):
-      * official corpus efficiency (min- and median-based),
+      * official corpus efficiency (median pairwise + all pairs),
       * the same measurement on a synth-only corpus whose per-page
         kernel working set stays cache-resident (isolates dataflow
         scaling from the one-box memory-bandwidth wall), and
@@ -238,7 +246,8 @@ def run_scaling() -> dict:
         if synth:
             env["GRAFT_SYNTH_CORPUS"] = "1"
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            [sys.executable, os.path.abspath(__file__), "--headline-only",
+             "--repeats=1"],
             env=env,
             capture_output=True,
             text=True,
@@ -247,18 +256,25 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
+    n_pairs = 3
 
     def level_pair(synth: bool) -> dict:
-        lo = run(lo_cpus, synth)
-        hi = run(hi_cpus, synth)
+        runs_lo, runs_hi, effs = [], [], []
+        for _ in range(n_pairs):
+            lo = run(lo_cpus, synth)["value"]
+            hi = run(hi_cpus, synth)["value"]
+            runs_lo.append(lo)
+            runs_hi.append(hi)
+            effs.append(round((lo / hi) / (hi_cpus / lo_cpus), 3))
+        effs_sorted = sorted(effs)
         return {
-            "eff_min": round((lo["value"] / hi["value"]) / (hi_cpus / lo_cpus), 3),
-            "eff_median": round((_median(lo["runs"]) / _median(hi["runs"]))
-                                / (hi_cpus / lo_cpus), 3),
-            "sec_8": lo["value"],
-            "sec_32": hi["value"],
-            "runs_8": lo["runs"],
-            "runs_32": hi["runs"],
+            "eff_pairs": effs,
+            "eff_median": effs_sorted[len(effs) // 2],
+            "eff_best": max(effs),
+            "sec_8": min(runs_lo),
+            "sec_32": min(runs_hi),
+            "runs_8": runs_lo,
+            "runs_32": runs_hi,
         }
 
     official = level_pair(synth=False)
@@ -266,7 +282,7 @@ def run_scaling() -> dict:
     contention = _contention_trace()
     return {
         "metric": "scaling_efficiency",
-        "value": official["eff_min"],
+        "value": official["eff_median"],
         "unit": "ratio",
         **official,
         "synth_corpus": synth,
@@ -280,6 +296,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--headline-only" in sys.argv:
-        print(json.dumps(run_headline_only()))
+        reps = 3
+        for a in sys.argv:
+            if a.startswith("--repeats="):
+                reps = int(a.split("=", 1)[1])
+        print(json.dumps(run_headline_only(repeats=reps)))
     else:
         print(json.dumps(run_suite()))
