@@ -13,17 +13,20 @@ rasterizes the page's VECTOR content itself:
   by their bounding box — documented approximation);
 * image XObjects (Flate or DCT-coded, gray/RGB/CMYK) sampled through
   the inverse CTM; Form XObjects recurse with their matrix;
-* text ink approximated by per-character boxes from the native text
-  layer (:func:`img2table_ray.extract.pdftext.page_chars`), inset so
-  adjacent characters stay separate connected components.
+* text ink: REAL glyph outlines for embedded CFF/Type1C fonts
+  (``extract/cff.py`` — Type 2 charstring interpreter; outlines filled
+  nonzero-winding through a per-(font, code, matrix) bitmap cache) and,
+  for fonts without a parseable embedded program, per-character boxes
+  with stroke topology and class-varying heights (both properties are
+  load-bearing against the metrics dot/dashed-line filters).
 
-What this is NOT: a glyph renderer.  Character ink is a box, not an
-outline, so pixel output is NOT byte-identical to pdfium; table
-STRUCTURE (the drawn rules, the cell grid) is geometrically exact,
-which is what the downstream detection consumes.  The e2e test pins
-this module against the reference's own fixture asserts
-(``/root/reference/tests/document/pdf/test_pdf.py:49-73``): per-page
-table count, title, row/column shape, and bbox proximity.
+Remaining deltas vs pdfium: no antialiasing (hard pixel-center
+coverage), glyph placement rounds to whole pixels, and TrueType
+(FontFile2) / Type1 (FontFile) programs still use the box fallback.
+The e2e test pins this module against the reference's own fixture
+asserts (``/root/reference/tests/document/pdf/test_pdf.py:49-73``):
+per-page table count, title, row/column shape, and bbox within one
+pixel.
 """
 
 from __future__ import annotations
@@ -271,15 +274,20 @@ def _blit_image(canvas: np.ndarray, img, ctm, clip) -> None:
     if abs(det) < 1e-12:
         return
     ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
-    cols = np.arange(c0, c1) + 0.5 - e
-    rows = np.arange(r0, r1) + 0.5 - f
-    u = cols[None, :] * ia + rows[:, None] * ic
-    v = cols[None, :] * ib + rows[:, None] * id_
+    # float32/int32 throughout: this sandbox faults fresh pages at
+    # ~7.5 MB/s, and float64 temporaries over a full-page region cost
+    # seconds of first-touch alone (profiled)
+    cols = (np.arange(c0, c1, dtype=np.float32) + np.float32(0.5)
+            - np.float32(e))
+    rows = (np.arange(r0, r1, dtype=np.float32) + np.float32(0.5)
+            - np.float32(f))
+    u = cols[None, :] * np.float32(ia) + rows[:, None] * np.float32(ic)
+    v = cols[None, :] * np.float32(ib) + rows[:, None] * np.float32(id_)
     inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
     ih, iw = img.shape
-    px = np.clip((u * iw).astype(np.int64), 0, iw - 1)
+    px = np.clip((u * iw).astype(np.int32), 0, iw - 1)
     # unit-square v=1 is the image's TOP row (PDF image space)
-    py = np.clip(((1.0 - v) * ih).astype(np.int64), 0, ih - 1)
+    py = np.clip(((np.float32(1.0) - v) * ih).astype(np.int32), 0, ih - 1)
     region = canvas[r0:r1, c0:c1]
     region[inside] = img[py[inside], px[inside]]
 
@@ -302,6 +310,7 @@ class _Raster:
         self.canvas = np.full((self.height, self.width), 255, np.uint8)
         # base CTM: user space -> device pixels, y flipped
         self.base = (s, 0.0, 0.0, -s, -mb[0] * s, mb[3] * s)
+        self._glyph_cache: dict = {}
 
     # -- interpreter -------------------------------------------------------
 
@@ -543,51 +552,192 @@ class _Raster:
             return (0.12, 0.30)
         return (0.12, 0.80)  # capitals, digits, ascenders, symbols
 
+    def _glyph_providers(self, page: dict) -> dict:
+        """font resource name -> callable(code) -> outline or None.
+        Outlines come from embedded FontFile3 (CFF/Type1C) programs;
+        code routing prefers the PDF /Encoding /Differences names, then
+        the CFF's built-in encoding."""
+        from img2table_ray.extract.cff import CffError, CffFont
+
+        doc = self.doc
+        out: dict = {}
+        res = doc.resolve(page.get("Resources")) or {}
+        fonts = doc.resolve(res.get("Font")) or {}
+        for name, f in fonts.items():
+            try:
+                fd = doc.resolve(f) or {}
+                desc = doc.resolve(fd.get("FontDescriptor")) or {}
+                ff = doc.resolve(desc.get("FontFile3"))
+                if not isinstance(ff, _Stream):
+                    continue
+                cf = CffFont(ff.decoded())
+            except (CffError, PdfTextError, Exception):
+                continue
+            diff_names: dict[int, str] = {}
+            enc = doc.resolve(fd.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = doc.resolve(enc.get("Differences")) or []
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    else:
+                        diff_names[code] = str(item)
+                        code += 1
+
+            def provider(code: int, cf=cf, names=diff_names):
+                n = names.get(code)
+                if n is not None:
+                    g = cf.glyph_by_name(n)
+                    if g is not None:
+                        return g
+                return cf.glyph_by_code(code)
+
+            out[name] = provider
+        return out
+
+    def _glyph_bitmap(self, key, outline, lin):
+        """Rasterize one glyph once per (font, code, linear matrix):
+        returns (mask bool array, x_off, y_off) relative to the glyph
+        origin in device space.  Repeated characters then BLIT instead
+        of re-running the scanline fill (document text reuses a few
+        dozen distinct glyphs thousands of times)."""
+        hit = self._glyph_cache.get(key)
+        if hit is not None:
+            return hit
+        a, b, c, d = lin
+
+        def pt(x, y):
+            return (a * x + c * y, b * x + d * y)
+
+        subpaths = []
+        for cont in outline:
+            if len(cont) < 2:
+                continue
+            cur = [pt(cont[0][1], cont[0][2])]
+            for seg in cont[1:]:
+                if seg[0] == "l":
+                    cur.append(pt(seg[1], seg[2]))
+                else:
+                    p0 = cur[-1]
+                    cur.extend(_flatten_bezier(
+                        p0, pt(seg[1], seg[2]), pt(seg[3], seg[4]),
+                        pt(seg[5], seg[6])))
+            subpaths.append(cur)
+        if not subpaths:
+            self._glyph_cache[key] = None
+            return None
+        xs = [p[0] for sp in subpaths for p in sp]
+        ys = [p[1] for sp in subpaths for p in sp]
+        x0 = math.floor(min(xs)) - 1
+        y0 = math.floor(min(ys)) - 1
+        w = int(math.ceil(max(xs))) - x0 + 2
+        h = int(math.ceil(max(ys))) - y0 + 2
+        if w <= 0 or h <= 0 or w * h > 1 << 22:
+            self._glyph_cache[key] = None
+            return None
+        tmp = np.full((h, w), 255, np.uint8)
+        shifted = [[(x - x0, y - y0) for x, y in sp] for sp in subpaths]
+        _fill_subpaths(tmp, shifted, 0, False, None)
+        entry = (tmp < 128, x0, y0)
+        if len(self._glyph_cache) < 4096:
+            self._glyph_cache[key] = entry
+        return entry
+
+    def _fill_glyph(self, key, outline, trm) -> None:
+        """Fill one glyph outline (font units) through trm -> user space
+        -> device (nonzero winding, the PostScript/CFF fill rule) via the
+        per-glyph bitmap cache; placement rounds the glyph origin to the
+        nearest device pixel (sub-pixel phase is not modeled — pdfium
+        antialiases there anyway)."""
+        m = _mul(_mul((0.001, 0.0, 0.0, 0.001, 0.0, 0.0), trm), self.base)
+        lin = (m[0], m[1], m[2], m[3])
+        ck = key + (round(m[0], 4), round(m[1], 4), round(m[2], 4),
+                    round(m[3], 4))
+        ent = self._glyph_bitmap(ck, outline, lin)
+        if ent is None:
+            return
+        mask, x0, y0 = ent
+        gh, gw = mask.shape
+        cx = int(round(m[4])) + x0
+        cy = int(round(m[5])) + y0
+        ch, cw = self.canvas.shape
+        sx0, sy0 = max(0, -cx), max(0, -cy)
+        dx0, dy0 = max(0, cx), max(0, cy)
+        dx1, dy1 = min(cw, cx + gw), min(ch, cy + gh)
+        if dx1 <= dx0 or dy1 <= dy0:
+            return
+        sub = mask[sy0 : sy0 + (dy1 - dy0), sx0 : sx0 + (dx1 - dx0)]
+        region = self.canvas[dy0:dy1, dx0:dx1]
+        region[sub] = 0
+
     def draw_text_ink(self, page: dict) -> None:
-        """Approximate glyph ink with inset per-character boxes from the
-        native text layer (kept apart horizontally so adjacent characters
-        stay separate CCs; vertical extent varies per character class —
-        see ``_ink_extent``)."""
+        """Paint character ink: REAL outlines from embedded CFF fonts
+        where available; otherwise inset per-character boxes with
+        stroke topology and class-varying heights (see ``_ink_extent`` —
+        both properties are load-bearing against the metrics filters)."""
+        glyphs: list = []
+
+        def sink(fname, font, code, trm):
+            glyphs.append((fname, font, code, trm))
+
         try:
-            chars = page_chars(self.doc, page)
+            page_chars(self.doc, page, glyph_sink=sink)
+            providers = self._glyph_providers(page)
         except PdfTextError:
             return
-        s = self.dpi / 72.0
-        mb = self.mb
-        for value, x1, y1, x2, y2 in chars:
+        for fname, font, code, trm in glyphs:
+            value = font.decode(code) if font is not None else ""
             if not value or not value.strip():
                 continue
-            dx0 = (x1 - mb[0]) * s
-            dx1 = (x2 - mb[0]) * s
-            dy0 = (mb[3] - y2) * s
-            dy1 = (mb[3] - y1) * s
-            bw = dx1 - dx0
-            bh = dy1 - dy0
-            if bw <= 0 or bh <= 0:
+            prov = providers.get(fname)
+            outline = prov(code) if prov is not None else None
+            if outline:
+                self._fill_glyph((fname, code), outline, trm)
                 continue
-            ix = max(min(bw * 0.12, 1.5), bw * 0.06)
-            f0, f1 = self._ink_extent(value[0])
-            gx0, gx1 = dx0 + ix, dx1 - ix
-            gy0, gy1 = dy0 + f0 * bh, dy0 + f1 * bh
-            gw, gh = gx1 - gx0, gy1 - gy0
-            if gw < 4.0 or gh < 4.0:
-                # too small for stroke topology: solid mark
-                _fill_rect(self.canvas, gx0, gy0, gx1, gy1, 0, None)
-                continue
-            # glyph-like "H" topology: two vertical strokes + a crossbar.
-            # A SOLID box reads as a round dot to remove_dots
-            # (extract/metrics.py:26: roundness>=0.7 with no inner gaps)
-            # and whole text lines vanish from the metrics; strokes with a
-            # counter (inner gap) survive like real glyph ink does.
-            bar = max(1.2, gw * 0.22)
-            _fill_rect(self.canvas, gx0, gy0, gx0 + bar, gy1, 0, None)
-            _fill_rect(self.canvas, gx1 - bar, gy0, gx1, gy1, 0, None)
-            cb = {  # crossbar position varies per class, like real glyphs
-                "asc": (0.25, 0.45), "x": (0.40, 0.62), "desc": (0.55, 0.78),
-            }["desc" if value[0] in self._DESCENDERS
-              else ("x" if value[0] in self._XHEIGHT else "asc")]
-            _fill_rect(self.canvas, gx0, gy0 + cb[0] * gh, gx1,
-                       gy0 + cb[1] * gh, 0, None)
+            self._box_ink(font, code, trm, value)
+
+    def _box_ink(self, font, code: int, trm, value: str) -> None:
+        """Fallback ink for fonts without a parseable embedded program:
+        the char cell through trm, inset, stroke topology."""
+        w0 = float(font.width(code)) / 1000.0
+        asc = float(font.ascent) / 1000.0
+        desc = float(font.descent) / 1000.0
+        m = _mul(trm, self.base)
+        corners = [(m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+                   for x, y in ((0.0, desc), (0.0, asc), (w0, desc),
+                                (w0, asc))]
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        dx0, dx1 = min(xs), max(xs)
+        dy0, dy1 = min(ys), max(ys)
+        bw = dx1 - dx0
+        bh = dy1 - dy0
+        if bw <= 0 or bh <= 0:
+            return
+        ix = max(min(bw * 0.12, 1.5), bw * 0.06)
+        f0, f1 = self._ink_extent(value[0])
+        gx0, gx1 = dx0 + ix, dx1 - ix
+        gy0, gy1 = dy0 + f0 * bh, dy0 + f1 * bh
+        gw, gh = gx1 - gx0, gy1 - gy0
+        if gw < 4.0 or gh < 4.0:
+            # too small for stroke topology: solid mark
+            _fill_rect(self.canvas, gx0, gy0, gx1, gy1, 0, None)
+            return
+        # glyph-like "H" topology: two vertical strokes + a crossbar.
+        # A SOLID box reads as a round dot to remove_dots
+        # (extract/metrics.py:26: roundness>=0.7 with no inner gaps)
+        # and whole text lines vanish from the metrics; strokes with a
+        # counter (inner gap) survive like real glyph ink does.
+        bar = max(1.2, gw * 0.22)
+        _fill_rect(self.canvas, gx0, gy0, gx0 + bar, gy1, 0, None)
+        _fill_rect(self.canvas, gx1 - bar, gy0, gx1, gy1, 0, None)
+        cb = {  # crossbar position varies per class, like real glyphs
+            "asc": (0.25, 0.45), "x": (0.40, 0.62), "desc": (0.55, 0.78),
+        }["desc" if value[0] in self._DESCENDERS
+          else ("x" if value[0] in self._XHEIGHT else "asc")]
+        _fill_rect(self.canvas, gx0, gy0 + cb[0] * gh, gx1,
+                   gy0 + cb[1] * gh, 0, None)
 
 
 def render_pdf(data: bytes, pages: list[int] | None = None,

@@ -492,9 +492,16 @@ def _apply(m, x, y):
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
 
 
-def page_chars(doc: PdfDocument, page: dict) -> list[tuple]:
+def page_chars(doc: PdfDocument, page: dict,
+               glyph_sink=None) -> list[tuple]:
     """Interpret a page's content stream -> [(value, x1, y1, x2, y2)] with
-    pdfium loose-charbox semantics, in unrotated PDF user space."""
+    pdfium loose-charbox semantics, in unrotated PDF user space.
+
+    ``glyph_sink(font_resource_name, font, code, trm)`` — when given —
+    is called once per shown character with the text RENDERING matrix
+    (glyph space x1000 -> user space) at that character's pen position;
+    the rasterizer uses it to paint real outlines.  The returned charbox
+    list is unchanged either way (golden-pinned)."""
     resources = doc.resolve(page.get("Resources")) or {}
     font_res = doc.resolve(resources.get("Font")) or {}
     fonts: dict[str, _Font] = {}
@@ -510,6 +517,7 @@ def page_chars(doc: PdfDocument, page: dict) -> list[tuple]:
     tl = rise = _F0
     fs = _F0
     font: _Font | None = None
+    font_name: str = ""
     tm = tlm = _ID
     chars: list[tuple] = []
     op_buf: list[tuple] = []       # chars of the current show operator
@@ -528,6 +536,11 @@ def page_chars(doc: PdfDocument, page: dict) -> list[tuple]:
         for code in s:
             w0 = _F(font.width(code)) / _F1000
             adv = w0 * fs * th
+            if glyph_sink is not None:
+                glyph_sink(font_name, font, code,
+                           _mul((float(fs) * float(th), 0.0, 0.0,
+                                 float(fs), 0.0, float(rise)),
+                                tuple(float(v) for v in full)))
             corners = (_apply(full, _F0, desc), _apply(full, _F0, asc),
                        _apply(full, adv, desc), _apply(full, adv, asc))
             xs = [p[0] for p in corners]
@@ -584,10 +597,12 @@ def page_chars(doc: PdfDocument, page: dict) -> list[tuple]:
         op = str(tok)
         try:
             if op == "q":
-                gs_stack.append((ctm, tc, tw, th, tl, rise, fs, font))
+                gs_stack.append((ctm, tc, tw, th, tl, rise, fs, font,
+                                 font_name))
             elif op == "Q":
                 if gs_stack:
-                    ctm, tc, tw, th, tl, rise, fs, font = gs_stack.pop()
+                    (ctm, tc, tw, th, tl, rise, fs, font,
+                     font_name) = gs_stack.pop()
             elif op == "cm":
                 m = tuple(num(v) for v in stack[-6:])
                 ctm = _mul(m, ctm)
@@ -602,6 +617,7 @@ def page_chars(doc: PdfDocument, page: dict) -> list[tuple]:
                     fdict = doc.resolve(font_res.get(name))
                     fonts[name] = _Font(doc, fdict) if fdict else None
                 font = fonts[name]
+                font_name = name
             elif op == "Tc":
                 tc = num(stack[-1])
             elif op == "Tw":
