@@ -563,15 +563,15 @@ class _Raster:
         out: dict = {}
         res = doc.resolve(page.get("Resources")) or {}
         fonts = doc.resolve(res.get("Font")) or {}
+        from img2table_ray.extract.ttf import TtfError, TtfFont
+
         for name, f in fonts.items():
             try:
                 fd = doc.resolve(f) or {}
                 desc = doc.resolve(fd.get("FontDescriptor")) or {}
-                ff = doc.resolve(desc.get("FontFile3"))
-                if not isinstance(ff, _Stream):
-                    continue
-                cf = CffFont(ff.decoded())
-            except (CffError, PdfTextError, Exception):
+                ff3 = doc.resolve(desc.get("FontFile3"))
+                ff2 = doc.resolve(desc.get("FontFile2"))
+            except (PdfTextError, Exception):
                 continue
             diff_names: dict[int, str] = {}
             enc = doc.resolve(fd.get("Encoding"))
@@ -584,16 +584,39 @@ class _Raster:
                     else:
                         diff_names[code] = str(item)
                         code += 1
+            if isinstance(ff3, _Stream):
+                try:
+                    cf = CffFont(ff3.decoded())
+                except (CffError, Exception):
+                    continue
 
-            def provider(code: int, cf=cf, names=diff_names):
-                n = names.get(code)
-                if n is not None:
-                    g = cf.glyph_by_name(n)
-                    if g is not None:
-                        return g
-                return cf.glyph_by_code(code)
+                def provider(code: int, cf=cf, names=diff_names):
+                    n = names.get(code)
+                    if n is not None:
+                        g = cf.glyph_by_name(n)
+                        if g is not None:
+                            return g
+                    return cf.glyph_by_code(code)
 
-            out[name] = provider
+                out[name] = provider
+            elif isinstance(ff2, _Stream):
+                # TrueType program: route code -> unicode (via the PDF
+                # font's encoding/ToUnicode) -> cmap -> glyph
+                try:
+                    from img2table_ray.extract.pdftext import _Font
+
+                    tf = TtfFont(ff2.decoded())
+                    dec = _Font(doc, fd)
+                except (TtfError, PdfTextError, Exception):
+                    continue
+
+                def provider(code: int, tf=tf, dec=dec):
+                    ch = dec.decode(code)
+                    if not ch:
+                        return None
+                    return tf.glyph_for_char(ch[0])
+
+                out[name] = provider
         return out
 
     def _glyph_bitmap(self, key, outline, lin):
