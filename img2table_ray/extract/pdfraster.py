@@ -571,6 +571,7 @@ class _Raster:
                 desc = doc.resolve(fd.get("FontDescriptor")) or {}
                 ff3 = doc.resolve(desc.get("FontFile3"))
                 ff2 = doc.resolve(desc.get("FontFile2"))
+                ff1 = doc.resolve(desc.get("FontFile"))
             except (PdfTextError, Exception):
                 continue
             diff_names: dict[int, str] = {}
@@ -615,6 +616,23 @@ class _Raster:
                     if not ch:
                         return None
                     return tf.glyph_for_char(ch[0])
+
+                out[name] = provider
+            elif isinstance(ff1, _Stream):
+                from img2table_ray.extract.type1 import Type1Error, Type1Font
+
+                try:
+                    t1 = Type1Font(ff1.decoded())
+                except (Type1Error, Exception):
+                    continue
+
+                def provider(code: int, t1=t1, names=diff_names):
+                    n = names.get(code)
+                    if n is not None:
+                        g = t1.glyph_by_name(n)
+                        if g is not None:
+                            return g
+                    return t1.glyph_by_code(code)
 
                 out[name] = provider
         return out
