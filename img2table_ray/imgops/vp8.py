@@ -748,9 +748,12 @@ def _filter_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
 
 
 def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
-                        edge_limit: int, mb_edge: bool) -> None:
+                        edge_limit: int, mb_edge: bool,
+                        ext_mask=None) -> None:
     """Normal loop filter across one edge.  ``px`` is [p3..p0, q0..q3],
-    eight int32 arrays (mutated in place), vectorized along the edge."""
+    eight int32 arrays (mutated in place — views write through),
+    vectorized along the edge; ``ext_mask`` restricts application (used
+    by the batched whole-frame passes)."""
     p3, p2, p1, p0, q0, q1, q2, q3 = px
     mask = (
         (np.abs(p3 - p2) <= interior)
@@ -761,6 +764,8 @@ def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
         & (np.abs(q3 - q2) <= interior)
         & (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit)
     )
+    if ext_mask is not None:
+        mask &= ext_mask
     hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
     # signed-8-bit domain
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
@@ -795,10 +800,13 @@ def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
         p1[use2] = np.clip(P1[use2] + a[use2] + 128, 0, 255)
 
 
-def _simple_filter_edge(px: list[np.ndarray], edge_limit: int) -> None:
+def _simple_filter_edge(px: list[np.ndarray], edge_limit: int,
+                        ext_mask=None) -> None:
     """Simple loop filter (Y only): adjusts p0/q0."""
     p1, p0, q0, q1 = px
     mask = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit
+    if ext_mask is not None:
+        mask = mask & ext_mask
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
     w = _s8(_s8(P1 - Q1) + 3 * (Q0 - P0))
     f1 = _s8(w + 4) >> 3
@@ -817,60 +825,57 @@ def _loop_filter_plane(plane: np.ndarray, mb_size: int, level: int,
 
     Ordering caveat: the RFC interleaves per-MB (left edge, interior
     vertical, top edge, interior horizontal in raster MB order); this
-    implementation runs all vertical edges, then all horizontal, which can
-    differ at MB-corner pixels.  Encoder reconstruction and decoder share
-    this exact function, so round-trips are bit-identical; decoding of
+    implementation runs whole-frame passes per edge OFFSET (all MB
+    edges, then each interior offset — same-offset windows are disjoint,
+    so each pass is one strided vector operation), which can differ at
+    MB-boundary pixels.  Encoder reconstruction and decoder share this
+    exact function, so round-trips are bit-identical; decoding of
     foreign (libvpx) streams may deviate on those pixels."""
     interior, hev_t, mb_lim, sub_lim = _filter_limits(level, sharpness)
     h, w = plane.shape
     mbs_y = h // mb_size
     mbs_x = w // mb_size
     p = plane  # int32 view
-
-    def col_edge(x: int, my_mask: np.ndarray, lim: int, mb_edge: bool) -> None:
-        rows = np.repeat(my_mask, mb_size)
-        if not rows.any():
-            return
-        if simple:
-            px = [p[rows, x - 2], p[rows, x - 1], p[rows, x], p[rows, x + 1]]
-            _simple_filter_edge(px, lim)
-            p[rows, x - 2], p[rows, x - 1], p[rows, x], p[rows, x + 1] = px
-        else:
-            cols = [p[rows, x + k] for k in range(-4, 4)]
-            _normal_filter_edge(cols, interior, hev_t, lim, mb_edge)
-            for k in range(-4, 4):
-                p[rows, x + k] = cols[k + 4]
-
-    def row_edge(y: int, mx_mask: np.ndarray, lim: int, mb_edge: bool) -> None:
-        cols = np.repeat(mx_mask, mb_size)
-        if not cols.any():
-            return
-        if simple:
-            px = [p[y - 2, cols], p[y - 1, cols], p[y, cols], p[y + 1, cols]]
-            _simple_filter_edge(px, lim)
-            p[y - 2, cols], p[y - 1, cols], p[y, cols], p[y + 1, cols] = px
-        else:
-            rows_ = [p[y + k, cols] for k in range(-4, 4)]
-            _normal_filter_edge(rows_, interior, hev_t, lim, mb_edge)
-            for k in range(-4, 4):
-                p[y + k, cols] = rows_[k + 4]
-
     if mb_mask is None:
         mb_mask = np.ones((mbs_y, mbs_x), bool)
-    # vertical MB edges (x = mx*mb_size, mx>0), then interior vertical
-    for mx in range(mbs_x):
-        x = mx * mb_size
-        if mx > 0:
-            col_edge(x, mb_mask[:, mx], mb_lim, True)
-        for sub in range(4, mb_size, 4):
-            col_edge(x + sub, inner[:, mx], sub_lim, False)
-    # horizontal MB edges, then interior horizontal
-    for my in range(mbs_y):
-        y = my * mb_size
-        if my > 0:
-            row_edge(y, mb_mask[my, :], mb_lim, True)
-        for sub in range(4, mb_size, 4):
-            row_edge(y + sub, inner[my, :], sub_lim, False)
+
+    # All edges at the same x-offset-within-MB are disjoint windows, so
+    # one strided-slice pass filters that offset for EVERY MB column at
+    # once (the k-offset slices are views — filter writes go straight
+    # through).  Offsets are still processed sequentially because their
+    # 8-pixel windows overlap within an MB.
+    def v_pass(start_x: int, n: int, mbm: np.ndarray, lim: int,
+               mb_edge: bool) -> None:
+        if n <= 0 or not mbm.any():
+            return
+        ext = np.repeat(mbm, mb_size, axis=0)  # (h, n)
+        if simple:
+            px = [p[:, start_x + k :: mb_size][:, :n] for k in range(-2, 2)]
+            _simple_filter_edge(px, lim, ext)
+        else:
+            px = [p[:, start_x + k :: mb_size][:, :n] for k in range(-4, 4)]
+            _normal_filter_edge(px, interior, hev_t, lim, mb_edge, ext)
+
+    def h_pass(start_y: int, n: int, mbm: np.ndarray, lim: int,
+               mb_edge: bool) -> None:
+        if n <= 0 or not mbm.any():
+            return
+        ext = np.repeat(mbm, mb_size, axis=1)  # (n, w)
+        if simple:
+            px = [p[start_y + k :: mb_size, :][:n] for k in range(-2, 2)]
+            _simple_filter_edge(px, lim, ext)
+        else:
+            px = [p[start_y + k :: mb_size, :][:n] for k in range(-4, 4)]
+            _normal_filter_edge(px, interior, hev_t, lim, mb_edge, ext)
+
+    # vertical: MB edges (x = m*mb_size, m>=1), then interior offsets
+    v_pass(mb_size, mbs_x - 1, mb_mask[:, 1:], mb_lim, True)
+    for sub in range(4, mb_size, 4):
+        v_pass(sub, mbs_x, inner, sub_lim, False)
+    # horizontal: MB edges, then interior offsets
+    h_pass(mb_size, mbs_y - 1, mb_mask[1:, :], mb_lim, True)
+    for sub in range(4, mb_size, 4):
+        h_pass(sub, mbs_y, inner, sub_lim, False)
 
 
 # ---------------------------------------------------------------------------
