@@ -1609,6 +1609,16 @@ def encode_vp8(img: np.ndarray, qindex: int = 40, use_bpred: bool = False,
     return stream, yuv420_to_rgb(ry, ru, rv)
 
 
+# Marker chunk stamped into self-encoded lossy WebPs.  This encoder
+# transmits EVERY coefficient probability in-stream (so its streams never
+# rely on the RFC 6386 §13.5 default tables this module could not
+# transcribe — see the module docstring); a foreign libwebp/libvpx stream
+# DOES rely on those defaults and would decode to garbage.  decode_webp
+# refuses `VP8 ` chunks unless this marker is present (standard RIFF
+# readers skip unknown chunks, so marked files stay valid WebPs).
+SELF_ENCODED_CHUNK = b"I2TR" + struct.pack("<I", 4) + b"self"
+
+
 def encode_webp_vp8(img: np.ndarray, qindex: int = 40, **kw
                     ) -> tuple[bytes, np.ndarray]:
     """Encode ``img`` as a lossy WebP (RIFF-wrapped VP8 keyframe)."""
@@ -1616,5 +1626,5 @@ def encode_webp_vp8(img: np.ndarray, qindex: int = 40, **kw
     chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
-    riff = b"WEBP" + chunk
+    riff = b"WEBP" + chunk + SELF_ENCODED_CHUNK
     return b"RIFF" + struct.pack("<I", len(riff)) + riff, recon

@@ -4,9 +4,12 @@ Decode implements the complete VP8L bitstream: RIFF/VP8X container walk,
 meta prefix (huffman) images, color cache, LZ77 backward references with
 the 120-entry 2-D distance map, and all four transforms (predictor with
 the full 14-mode set, color transform, subtract-green, color indexing
-with pixel bundling).  Lossy VP8 chunks raise ``WebpError`` — the
-boolean-arithmetic decoder is out of scope this round, and such rows
-become counted error records upstream (manifest ``errors_by_format``).
+with pixel bundling).  Lossy ``VP8 `` chunks route to the intra-frame
+decoder in ``vp8.py`` ONLY for self-encoded (``I2TR``-marked) containers;
+foreign lossy files raise ``WebpError`` — the VP8 default probability
+tables are not spec-transcribed, so foreign streams would decode to
+silent garbage — and such rows become counted error records upstream
+(manifest ``errors_by_format``).
 
 The reference accepts WebP implicitly through cv2.imdecode
 (/root/reference/src/img2table/document/image.py:25-32, libwebp under the
@@ -240,7 +243,22 @@ class _Group:
 def _decode_image_stream(br: _BitReader, xsize: int, ysize: int,
                          level0: bool):
     """Returns (pixels uint32 array len xsize*ysize, transforms) — the
-    transforms list is only populated at level 0."""
+    transforms list is only populated at level 0.
+
+    The zero pad after the stream covers small bit-cursor overruns, but a
+    truncated stream can keep decoding zero bits as valid symbols and walk
+    the cursor arbitrarily far past the pad, so ``words[p >> 5]`` in the
+    hot loop raises IndexError before the post-loop ``p > max_bits`` check
+    fires.  Catch it here (free in the happy path) to keep the documented
+    WebpError contract for direct callers."""
+    try:
+        return _decode_image_stream_inner(br, xsize, ysize, level0)
+    except IndexError:
+        raise WebpError("truncated VP8L bitstream") from None
+
+
+def _decode_image_stream_inner(br: _BitReader, xsize: int, ysize: int,
+                               level0: bool):
     transforms = []
     seen_types = set()
     if level0:
@@ -626,26 +644,51 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(b[:, :, [2, 1, 0]])
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container -> first VP8L (lossless) or VP8 (lossy keyframe)
-    image as (H, W, 3) uint8 RGB."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise WebpError("not a WebP file")
+def _riff_chunks(data: bytes):
+    """Yield (tag, payload) for each chunk in a RIFF/WEBP container."""
     pos = 12
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        payload = data[pos + 8 : pos + 8 + size]
+        yield tag, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_webp(data: bytes, allow_foreign_vp8: bool = False) -> np.ndarray:
+    """RIFF container -> first VP8L (lossless) or VP8 (lossy keyframe)
+    image as (H, W, 3) uint8 RGB.
+
+    Lossy ``VP8 `` chunks decode ONLY when the container carries the
+    ``I2TR`` self-encoded marker (vp8.py SELF_ENCODED_CHUNK): the VP8
+    decoder's default probability tables are not spec-transcribed (no RFC
+    text in this container), so a foreign libwebp/libvpx stream would
+    desynchronize and return correctly-shaped garbage with no error.
+    Self-encoded streams transmit every probability in-stream and
+    round-trip bit-exactly.  Foreign lossy files fail LOUD (WebpError →
+    a counted errors_by_format row), matching the counted-error design;
+    ``allow_foreign_vp8=True`` (or GRAFT_ALLOW_FOREIGN_VP8=1) opts into
+    best-effort decode for callers who accept the caveat."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WebP file")
+    self_encoded = any(tag == b"I2TR" for tag, _ in _riff_chunks(data))
+    for tag, payload in _riff_chunks(data):
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
+            import os
+
             from img2table_ray.imgops.vp8 import Vp8Error, decode_vp8
 
+            if not (self_encoded or allow_foreign_vp8
+                    or os.environ.get("GRAFT_ALLOW_FOREIGN_VP8")):
+                raise WebpError(
+                    "foreign lossy VP8 stream: decoder probability tables "
+                    "are not spec-pinned; refusing to return unverified "
+                    "pixels (set allow_foreign_vp8 to override)")
             try:
                 return decode_vp8(payload)
             except Vp8Error as exc:
                 raise WebpError(f"lossy WebP: {exc}") from exc
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise WebpError("no decodable image chunk in WebP container")
 
 

@@ -104,8 +104,13 @@ def test_synth_page_through_decode_image():
 
 
 def test_lossy_and_corrupt_raise():
-    with pytest.raises(WebpError, match="lossy"):
+    # unmarked (foreign) lossy VP8 refuses LOUD, before bitstream parse
+    with pytest.raises(WebpError, match="foreign"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00")
+    # opt-in flag reaches the VP8 parser (which then rejects the garbage)
+    with pytest.raises(WebpError, match="lossy"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00",
+                    allow_foreign_vp8=True)
     with pytest.raises(WebpError):
         decode_webp(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
     with pytest.raises(WebpError):
