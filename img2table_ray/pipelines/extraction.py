@@ -243,7 +243,7 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
 
     ``num_parts`` is accepted for compatibility and validated against the
     actual shard count when given."""
-    from img2table_ray.state.stats import StatsCollector
+    from img2table_ray.state.stats import StatsShards
 
     t0 = time.time()
     shards = input_shards(pages_dir)
@@ -265,7 +265,9 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
 
     todo = sorted(set(range(n_parts)) - done)
     wave_size = max(1, -(-len(todo) // max(1, waves)))
-    stats_actor = StatsCollector.remote()
+    # no collectors on a fully-resumed job (actor creation would race
+    # an immediately-following ray.shutdown in short scripts)
+    stats_actor = StatsShards() if todo else None
     stats = {}
     for w in range(0, len(todo), wave_size):
         wave_parts = set(todo[w : w + wave_size])
@@ -275,9 +277,9 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
         ds.write_parquet(ddir, partition_cols=["part"])
 
         # publish manifests for this wave (data is durable at this point);
-        # counts come from the distributed collector, not an output re-read
-        totals = ray.get(stats_actor.totals.remote())
-        err_fmt = ray.get(stats_actor.errors_by_format.remote())
+        # counts come from the distributed collectors, not an output re-read
+        totals = stats_actor.totals()
+        err_fmt = stats_actor.errors_by_format()
         for part in sorted(wave_parts):
             n_docs, n_tables, n_errors = totals.get(part, [0, 0, 0])
             by_fmt = err_fmt.get(part, {})
@@ -286,6 +288,8 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
                               errors_by_format=by_fmt)
             stats[part] = {"n_docs": n_docs, "n_tables": n_tables,
                            "n_errors": n_errors, "errors_by_format": by_fmt}
+            # manifest is durable -> free the partition's dedup state
+            stats_actor.drop_part(part)
 
     return {
         "out_dir": out_dir,

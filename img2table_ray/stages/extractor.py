@@ -344,9 +344,10 @@ class PageExtractor:
                     out[col].append(page if col == "page" else v)
 
         # distributed manifest accounting: per-batch (part -> counts) partials
-        # go to the (tiny) stats collector — the driver never re-reads output
-        # parquet.  Synchronous send so no count can be lost between task
-        # completion and the driver's totals read; one small RPC per batch.
+        # go to the part-hashed stats shards (state/stats.py:StatsShards) —
+        # the driver never re-reads output parquet.  Synchronous send so no
+        # count can be lost between task completion and the driver's totals
+        # read; the RPC fan-in divides across K collectors.
         if self._stats is not None:
             # row-identity keys -> idempotent under retries AND re-chunked
             # batch boundaries (ADVICE r2): one entry per output row.
@@ -368,7 +369,7 @@ class PageExtractor:
                     1 if st == "error" else 0,
                     kind_of.get((url, page), "unknown"),
                 ))
-            ray.get(self._stats.add.remote(stat_rows))
+            self._stats.add_rows(stat_rows)
 
         return pa.Table.from_pydict(out, schema=OUTPUT_SCHEMA)
 

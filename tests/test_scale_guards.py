@@ -55,3 +55,33 @@ def test_tag_part_miss_routes_to_sentinel():
     out = tag_part_batch(batch, {"pages_0000.parquet": 0})
     assert out.column("part").to_pylist() == [0, -1]
     assert "path" not in out.schema.names
+
+
+def test_stats_shards_bound_memory_per_part(ray_session):
+    """StatsShards: partitions spread over K collectors, counts are
+    idempotent per row, and drop_part releases a published partition's
+    dedup seen-set (the r3 unbounded-single-actor finding)."""
+    from img2table_ray.state.stats import StatsShards
+
+    shards = StatsShards(num_shards=2)
+    rows = []
+    for part in range(4):
+        for i in range(10):
+            rows.append((f"{part}:{i}".encode(), part, 1, 1, 0, "png"))
+    shards.add_rows(rows)
+    shards.add_rows(rows)  # duplicate push: must not double-count
+
+    totals = shards.totals()
+    assert {p: c[0] for p, c in totals.items()} == {0: 10, 1: 10, 2: 10, 3: 10}
+    assert shards.seen_sizes() == {0: 10, 1: 10, 2: 10, 3: 10}
+    # parts spread over both shards (part % K)
+    import ray as _ray
+    per_shard = _ray.get([s.seen_sizes.remote() for s in shards.shards])
+    assert sorted(set(p for d in per_shard for p in d)) == [0, 1, 2, 3]
+    assert all(d for d in per_shard)
+
+    shards.drop_part(1)
+    shards.drop_part(2)
+    shards.flush()
+    assert shards.seen_sizes() == {0: 10, 3: 10}
+    assert set(shards.totals()) == {0, 3}  # published parts freed entirely
