@@ -275,8 +275,14 @@ class PageExtractor:
         if "hocr" in batch.schema.names:
             hocr_list = batch["hocr"].to_pylist()
         elif self._words_service is not None:
-            hocr_list = self._words_service.fetch(
-                [(u, int(p)) for u, p in zip(urls, pages)])
+            try:
+                hocr_list = self._words_service.fetch(
+                    [(u, int(p)) for u, p in zip(urls, pages)])
+            except Exception:
+                # fetch() already degrades per-shard; this guard keeps
+                # ANY lookup failure from failing the block — rows come
+                # out word-less rather than the task dying (ADVICE r3)
+                hocr_list = [None] * len(urls)
         else:
             hocr_list = [self._words.get((u, p)) for u, p in zip(urls, pages)]
         out: dict[str, list] = {name: [] for name in OUTPUT_SCHEMA.names}

@@ -63,7 +63,12 @@ class WordsService:
         self.shards = shards
 
     def fetch(self, keys: list[tuple[str, int]]) -> list[str | None]:
-        """Bulk lookup preserving order; one RPC per touched shard."""
+        """Bulk lookup preserving order; one RPC per touched shard.
+
+        Degrades, never fails: a dead or unreachable shard (node loss on
+        the at-scale path this service exists for) yields ``None`` for
+        its keys after one retry, so extraction produces word-less rows
+        instead of a failed task (ADVICE r3)."""
         k = len(self.shards)
         by_shard: dict[int, list[int]] = {}
         for i, (url, page) in enumerate(keys):
@@ -71,10 +76,18 @@ class WordsService:
         out: list[str | None] = [None] * len(keys)
         refs = []
         for sid, idxs in by_shard.items():
-            refs.append((idxs, self.shards[sid].get_many.remote(
+            refs.append((sid, idxs, self.shards[sid].get_many.remote(
                 [keys[i] for i in idxs])))
-        for idxs, ref in refs:
-            vals = ray.get(ref)
+        for sid, idxs, ref in refs:
+            try:
+                vals = ray.get(ref)
+            except Exception:
+                try:  # one retry covers transient RPC loss; a dead
+                    # actor fails again immediately and we degrade
+                    vals = ray.get(self.shards[sid].get_many.remote(
+                        [keys[i] for i in idxs]))
+                except Exception:
+                    continue  # out[] stays None for this shard's keys
             for i, v in zip(idxs, vals):
                 out[i] = v
         return out

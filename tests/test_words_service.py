@@ -49,6 +49,34 @@ def test_build_fetch_roundtrip(ray_session, tmp_path):
     assert isinstance(svc, WordsService) and len(svc.shards) == 3
 
 
+def test_dead_shard_degrades_to_none(ray_session, tmp_path):
+    """A killed shard actor must yield None for its keys (degraded,
+    word-less rows) instead of raising into the extraction task
+    (ADVICE r3: node loss on the at-scale path)."""
+    import ray
+
+    d = str(tmp_path / "words")
+    os.makedirs(d)
+    n = 40
+    pq.write_table(pa.table({
+        "url": [f"https://doc/{i}" for i in range(n)],
+        "page": pa.array([0] * n, pa.int32()),
+        "hocr": [f"<hocr {i}>" for i in range(n)],
+    }), f"{d}/w.parquet")
+    svc = build_words_service(d, num_shards=2)
+    keys = [(f"https://doc/{i}", 0) for i in range(n)]
+    dead = 0
+    ray.kill(svc.shards[dead])
+    got = svc.fetch(keys)
+    for (u, p), v in zip(keys, got):
+        if _bucket(u, p, 2) == dead:
+            assert v is None
+        else:
+            assert v == f"<hocr {int(u.rsplit('/', 1)[1])}>"
+    # both buckets were actually exercised
+    assert any(v is None for v in got) and any(v is not None for v in got)
+
+
 def test_null_hocr_rows_are_skipped(ray_session, tmp_path):
     d = str(tmp_path / "words")
     os.makedirs(d)
