@@ -13,16 +13,18 @@ rasterizes the page's VECTOR content itself:
   by their bounding box — documented approximation);
 * image XObjects (Flate or DCT-coded, gray/RGB/CMYK) sampled through
   the inverse CTM; Form XObjects recurse with their matrix;
-* text ink: REAL glyph outlines for embedded CFF/Type1C fonts
-  (``extract/cff.py`` — Type 2 charstring interpreter; outlines filled
-  nonzero-winding through a per-(font, code, matrix) bitmap cache) and,
-  for fonts without a parseable embedded program, per-character boxes
-  with stroke topology and class-varying heights (both properties are
-  load-bearing against the metrics dot/dashed-line filters).
+* text ink: REAL glyph outlines for all three embedded font program
+  kinds — CFF/Type1C via ``extract/cff.py`` (Type 2 charstrings),
+  TrueType via ``extract/ttf.py`` (FontFile2 glyf quadratics), and
+  Type 1 via ``extract/type1.py`` (FontFile eexec + Type 1
+  charstrings) — filled nonzero-winding through a per-(font, code,
+  matrix) bitmap cache; only fonts WITHOUT a parseable embedded
+  program fall back to per-character boxes with stroke topology and
+  class-varying heights (both properties are load-bearing against the
+  metrics dot/dashed-line filters).
 
 Remaining deltas vs pdfium: no antialiasing (hard pixel-center
-coverage), glyph placement rounds to whole pixels, and TrueType
-(FontFile2) / Type1 (FontFile) programs still use the box fallback.
+coverage) and glyph placement rounds to whole pixels.
 The e2e test pins this module against the reference's own fixture
 asserts (``/root/reference/tests/document/pdf/test_pdf.py:49-73``):
 per-page table count, title, row/column shape, and bbox within one
@@ -304,12 +306,31 @@ class _Raster:
         s = dpi / 72.0
         self.width = int(round((mb[2] - mb[0]) * s))
         self.height = int(round((mb[3] - mb[1]) * s))
+        # page /Rotate composes into the base CTM the way pdfium's
+        # page.render does (the reference raster IS rotated; only the
+        # TEXT layer mirrors the reference's no-rotation quirk,
+        # pdftext.py:804).  90/270 swap the device dimensions.
+        try:
+            rot = int(doc.resolve(page.get("Rotate")) or 0) % 360
+        except (TypeError, ValueError):
+            rot = 0
+        if rot in (90, 270):
+            self.width, self.height = self.height, self.width
         if not (0 < self.width <= 20000 and 0 < self.height <= 20000):
             raise PdfRasterError(f"unreasonable page raster "
                                  f"{self.width}x{self.height}")
         self.canvas = np.full((self.height, self.width), 255, np.uint8)
-        # base CTM: user space -> device pixels, y flipped
-        self.base = (s, 0.0, 0.0, -s, -mb[0] * s, mb[3] * s)
+        # base CTM: user space -> device pixels, y flipped, then the
+        # clockwise display rotation (derived by rotating the unrotated
+        # device raster: 90 cw maps (r,c) -> (c, H-r))
+        if rot == 90:
+            self.base = (0.0, s, s, 0.0, -mb[1] * s, -mb[0] * s)
+        elif rot == 180:
+            self.base = (-s, 0.0, 0.0, s, mb[2] * s, -mb[1] * s)
+        elif rot == 270:
+            self.base = (0.0, -s, -s, 0.0, mb[3] * s, mb[2] * s)
+        else:
+            self.base = (s, 0.0, 0.0, -s, -mb[0] * s, mb[3] * s)
         self._glyph_cache: dict = {}
 
     # -- interpreter -------------------------------------------------------
@@ -499,9 +520,26 @@ class _Raster:
                 elif op in ("SC", "SCN"):
                     stroke_gray = _luminance(stack)
                 elif op == "BI":
-                    # inline image: skip to EI
-                    idx = content.find(b"EI", lex.i)
-                    lex.i = len(content) if idx < 0 else idx + 2
+                    # inline image: skip dict + binary payload.  The
+                    # bytes b'EI' can occur INSIDE the payload, so the
+                    # match must be delimiter-bounded — whitespace
+                    # before, whitespace/EOF/delimiter after (ADVICE
+                    # r3); scan starts after the ID data marker
+                    ws = b"\x00\t\n\x0c\r "
+                    idm = content.find(b"ID", lex.i)
+                    j = lex.i if idm < 0 else idm + 3
+                    while True:
+                        j = content.find(b"EI", j)
+                        if j < 0:
+                            j = len(content)
+                            break
+                        ok_before = j == 0 or content[j - 1] in ws
+                        ok_after = (j + 2 >= len(content)
+                                    or content[j + 2] in ws + b"[]<>()/%")
+                        if ok_before and ok_after:
+                            break
+                        j += 2
+                    lex.i = min(len(content), j + 2)
                 elif op == "Do":
                     name = str(stack[-1]) if stack else ""
                     xo = doc.resolve(xobjs.get(name))

@@ -140,6 +140,59 @@ def test_form_xobject_recursion():
     assert (rows.min(), rows.max()) == (22, 41)
 
 
+def test_page_rotate_90_and_180_match_pdfium_orientation():
+    """/Rotate composes into the base CTM like pdfium's page.render:
+    90/270 swap device dims; content lands where rotating the
+    unrotated raster clockwise would put it (ADVICE r3)."""
+    rect = b"0 0 0 rg 10 10 20 6 re f"
+
+    def rot_pdf(rot):
+        mb = b"0 0 72 36"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [" + mb
+                + b"] /Rotate " + str(rot).encode()
+                + b" /Contents 4 0 R /Resources << >> >>"),
+            4: (b"<< /Length " + str(len(rect)).encode()
+                + b" >>\nstream\n" + rect + b"\nendstream"),
+        }
+        out = [b"%PDF-1.4"]
+        for num in sorted(objs):
+            out.append(b"%d 0 obj\n" % num + objs[num] + b"\nendobj")
+        out.append(b"%%EOF")
+        return b"\n".join(out)
+
+    base = _gray(render_pdf(rot_pdf(0), dpi=72)[0])
+    assert base.shape == (36, 72)
+    r90 = _gray(render_pdf(rot_pdf(90), dpi=72)[0])
+    assert r90.shape == (72, 36)
+    # rotating the unrotated raster 90 clockwise == the /Rotate 90 render
+    np.testing.assert_array_equal(np.rot90(base, k=-1), r90)
+    r180 = _gray(render_pdf(rot_pdf(180), dpi=72)[0])
+    assert r180.shape == (36, 72)
+    np.testing.assert_array_equal(np.rot90(base, k=2), r180)
+    r270 = _gray(render_pdf(rot_pdf(270), dpi=72)[0])
+    assert r270.shape == (72, 36)
+    np.testing.assert_array_equal(np.rot90(base, k=1), r270)
+
+
+def test_inline_image_ei_inside_payload_is_skipped():
+    """The b'EI' pair inside an inline image's binary payload must not
+    terminate the skip: resuming there lexes payload bytes as operators
+    (here a full-page fill) (ADVICE r3)."""
+    payload = b"\x01\x02EI\x03 0 0 0 rg 0 0 72 72 re f \x9c\xff"
+    content = (b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + payload
+               + b" EI\n0 0 0 rg 10 10 20 6 re f")
+    img = _gray(render_pdf(_mini_pdf(content), dpi=72)[0])
+    ink = img < 128
+    assert ink.sum() == 20 * 6  # only the real rect, no payload 'ops'
+    rows = np.where(ink.any(axis=1))[0]
+    cols = np.where(ink.any(axis=0))[0]
+    assert (rows.min(), rows.max()) == (72 - 16, 72 - 11)
+    assert (cols.min(), cols.max()) == (10, 29)
+
+
 def test_fixture_render_shape_matches_reference():
     # ref test_pdf.py:40 — pdfium render shape (2200, 1700, 3), 2 pages
     imgs = render_pdf(fixture_bytes("test.pdf"))
