@@ -129,6 +129,9 @@ def _decode_frame(data: bytes):
     comps: list[_Component] = []
     width = height = None
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple] = {}  # DAC: table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table id -> Kx
     decoded = False
     adobe_transform = None
     restart_interval = 0
@@ -177,11 +180,14 @@ def _decode_frame(data: bytes):
                         _LUT_CACHE[ck] = lut
                 huff[(tc, th)] = lut
                 p += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive Huffman;
+            # SOF9/10 sequential/progressive arithmetic (imgops/jpega.py)
             prec = seg[0]
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
-            progressive = m == 0xC2
+            progressive = m in (0xC2, 0xCA)
+            arith = m in (0xC9, 0xCA)
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3, 4):
@@ -202,8 +208,23 @@ def _decode_frame(data: bytes):
                     # coefficients; scalar list ops beat numpy here
                     c.pcoef = [0] * (c.blocks_w * c.blocks_h * 64)
                     c.pred = 0
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0x{m:02x}")
+        elif m == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up:
+                        raise JpegError("bad DAC DC conditioning")
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise JpegError("bad DAC AC conditioning")
+                    ac_cond[tb] = cs
         elif m == 0xEE and seg[:5] == b"Adobe":  # APP14: color transform
             adobe_transform = seg[11] if len(seg) > 11 else None
         elif m == 0xDD:  # DRI
@@ -226,6 +247,8 @@ def _decode_frame(data: bytes):
             for cs, td, ta in scan_sel:
                 if cs not in frame_ids:
                     raise JpegError(f"scan references undefined component {cs}")
+                if arith:
+                    continue  # arithmetic bins self-initialize; no DHT
                 needs_dc = (not progressive) or (ss == 0 and ah == 0)
                 needs_ac = (not progressive) or ss > 0
                 if needs_dc and (0, td) not in huff:
@@ -233,6 +256,28 @@ def _decode_frame(data: bytes):
                 if needs_ac and (1, ta) not in huff:
                     raise JpegError(f"undefined AC Huffman table {ta}")
             segs, end = _entropy_segments(data, i + 2 + L)
+            if arith:
+                from img2table_ray.imgops import jpega
+
+                if not progressive:
+                    if len(scan_sel) != len(comps):
+                        raise JpegError(
+                            "non-interleaved arithmetic scan not supported")
+                    sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+                    if set(sel) != frame_ids:
+                        raise JpegError(
+                            "arithmetic scan does not cover all components")
+                    jpega.decode_sequential_arith(
+                        width, height, comps, sel, dc_cond, ac_cond,
+                        restart_interval, segs)
+                    decoded = True
+                    break
+                jpega.progressive_scan_arith(
+                    width, height, comps, scan_sel, ss, se, ah, al,
+                    dc_cond, ac_cond, restart_interval, segs)
+                decoded = True
+                i = end
+                continue
             if not progressive:
                 if len(scan_sel) != len(comps):
                     # per-component baseline scans are legal but rare; the
@@ -1224,11 +1269,13 @@ def _encode_plane_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                ycck: bool = False) -> bytes:
+                ycck: bool = False, arithmetic: bool = False) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) gray uint8 -> baseline JFIF bytes
     (4:2:0 for color).  A (H, W, 4) input is treated as Adobe-inverted
     CMYK planes and written as a 4-component Adobe JPEG (APP14 transform
     0, or 2 with ``ycck=True`` — CMY stored as inverted YCbCr).
+    ``arithmetic=True`` writes an SOF9 arithmetic-coded stream instead
+    (imgops/jpega.py QM coder; byte-compatible with libjpeg).
     Test/sink utility — decode parity is the decoder's job, not this
     writer's."""
     gray = img.ndim == 2
@@ -1282,12 +1329,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         quant = np.round(coefs / qmat).astype(np.int32)
         comp_blocks.append((quant.reshape(-1, 64), bh, bw))
 
+    ncomp = len(planes)
+    if arithmetic:
+        from img2table_ray.imgops.jpega import encode_sequential_arith
+
+        entropy = encode_sequential_arith(
+            w, h, [(p[2], p[3]) for p in planes],
+            [(q[:, ZIGZAG], bh, bwid) for q, bh, bwid in comp_blocks])
+        return _assemble_jpeg(w, h, planes, gray, adobe_transform, ql, qc,
+                              ncomp, entropy, arithmetic=True)
+
     dc_codes = [_enc_codes(*_DC_LUMA), _enc_codes(*_DC_CHROMA)]
     ac_codes = [_enc_codes(*_AC_LUMA), _enc_codes(*_AC_CHROMA)]
 
     bw_ = _BitWriter()
     zz = ZIGZAG
-    ncomp = len(planes)
     hmax = max(p[2] for p in planes)
     vmax = max(p[3] for p in planes)
     mcus_x = -(-w // (8 * hmax))
@@ -1339,8 +1395,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                         col = min(mx * ch + bx, bwid - 1)
                         emit_block(quant[row * bwid + col], ci)
     bw_.flush()
+    return _assemble_jpeg(w, h, planes, gray, adobe_transform, ql, qc,
+                          ncomp, bytes(bw_.out), arithmetic=False)
 
-    # ---- container ----
+
+def _assemble_jpeg(w, h, planes, gray, adobe_transform, ql, qc, ncomp,
+                   entropy: bytes, arithmetic: bool) -> bytes:
+    """Shared container writer: Huffman (SOF0 + DHT) or arithmetic
+    (SOF9 + DAC default conditioning) around the entropy stream."""
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
@@ -1360,17 +1422,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for ci in range(ncomp):
         hv = (planes[ci][2] << 4) | planes[ci][3]
         sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-    for tc, th, (bits, vals) in [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)] + (
-            [] if gray else [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]):
-        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    out += seg(0xC9 if arithmetic else 0xC0, bytes(sof))
+    if arithmetic:
+        # DAC with the defaults (L=0, U=1, Kx=5), like libjpeg emits
+        dac = bytearray()
+        for t in range(1 if gray else 2):
+            dac += bytes([t, 0x10])
+            dac += bytes([0x10 | t, 5])
+        out += seg(0xCC, bytes(dac))
+    else:
+        for tc, th, (bits, vals) in [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)] + (
+                [] if gray else [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]):
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, bytes(sos))
-    out += bw_.out
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -167,8 +167,9 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
     and the size-aware skew routing); i % 16 == 15 -> a TWO-page native
     vector PDF (no hOCR: per-page explode by page count, the 200-DPI
     vector rasterizer, and text-layer words all run at bench scale);
-    i % 16 == 11 -> a baseline-JPEG page (web crawls are mostly JPEG;
-    exercises the JPEG decode path in every run); i % 16 == 12 -> TIFF
+    i % 16 == 11 -> a JPEG page, alternating baseline and ARITHMETIC-coded
+    (SOF9 QM coder; web crawls are mostly JPEG and cv2/libjpeg decodes
+    both entropy layers); i % 16 == 12 -> TIFF
     (alternating LZW+predictor strips and bilevel CCITT fax scans, G4
     MMR / G3 2-D); i % 16 == 13 -> GIF; i % 16 == 14 -> WebP, alternating
     lossless (VP8L, subtract-green + LZ77) and LOSSY (VP8 keyframe —
@@ -211,6 +212,12 @@ def generate_pages(out_dir: str, n_rows: int, include_fixtures: bool = True,
         if i % 16 == 11:
             from img2table_ray.imgops.jpeg import encode_jpeg
 
+            if (i // 16) % 2:
+                # arithmetic-coded JPEG (SOF9) — the remaining real-web
+                # entropy layer (imgops/jpega.py; libjpeg-interop pinned)
+                return (f"jpega{shape[0]}x{shape[1]}",
+                        encode_jpeg(g, quality=95, arithmetic=True),
+                        [(0, hocr)])
             return (f"jpeg{shape[0]}x{shape[1]}", encode_jpeg(g, quality=95),
                     [(0, hocr)])
         if i % 16 == 12:

@@ -71,8 +71,10 @@ def test_progressive_gray_two_levels():
 
 
 def test_unsupported_sof_rejected():
-    # arithmetic-coded SOF9: explicit error, not wrong pixels
-    bad = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10"
+    # lossless SOF3: explicit error, not wrong pixels.  (SOF9/SOF10
+    # arithmetic used to be in this class; since imgops/jpega.py they
+    # decode — see tests/test_jpeg_arith.py.)
+    bad = (b"\xff\xd8" + b"\xff\xc3" + b"\x00\x0b" + b"\x08\x00\x10\x00\x10"
            b"\x01\x01\x11\x00" + b"\xff\xd9")
     with pytest.raises(JpegError, match="unsupported SOF"):
         decode_jpeg(bad)
