@@ -22,12 +22,17 @@ control flow mirroring libjpeg's jdphuff.c; verified by transcoding a
 baseline image's quantized coefficients into multi-scan progressive
 streams (including refinement scans) and requiring bit-identical pixels.
 4-component Adobe JPEGs (CMYK, and YCCK via APP14 transform=2) composite
-to RGB with cv2's CMYK2BGR formula.  Unsupported (explicit errors, not
-wrong pixels): arithmetic coding, 12-bit precision.
+to RGB with cv2's CMYK2BGR formula.  Arithmetic-coded streams (SOF9
+sequential / SOF10 progressive) decode via the QM coder in
+``imgops/jpega.py``, libjpeg-interop pinned in tests/test_jpeg_arith.py.
+Unsupported (explicit errors, not wrong pixels): lossless/hierarchical
+SOF variants, 12-bit precision.
 
 The encoder is a plain baseline writer (standard Annex-K tables scaled by
-quality, 4:2:0) used by tests for roundtrip checks and by pipelines that
-need a JPEG sink; it makes no bit-parity claim.
+quality, 4:2:0; ``arithmetic=True`` swaps in the SOF9 QM entropy layer)
+used by tests for roundtrip checks and by pipelines that need a JPEG
+sink; the arithmetic entropy stream is byte-identical to libjpeg's for
+the same coefficients (pinned), the rest makes no bit-parity claim.
 """
 
 from __future__ import annotations

@@ -21,23 +21,21 @@ the SAME inverse path the decoder uses, loop filter included.  Tests pin
 (this exercises every decoder stage) plus a PSNR floor against the
 source.
 
-Correctness caveat (read before trusting real-world files): the
-container offers no VP8 reference — no libwebp/cv2, no RFC text — so
-the LARGE probability tables could not be transcribed verbatim:
-
-* ``DEFAULT_COEFF_PROBS`` is flat 128s, NOT the RFC 6386 §13.5 table.
-  The encoder measures real per-node token statistics and TRANSMITS them
-  as in-stream probability updates, so bits-on-wire carry the true
-  probabilities and round-trips are exact — but a libvpx-encoded file
-  that relies on the spec defaults would desynchronize.
-* ``COEFF_UPDATE_PROBS`` (the update-flag gates) is flat 252s, and
-  ``KF_BMODE_PROBS`` is a single shared distribution — same caveat.
-
-Everything else — coder, trees that ARE remembered with confidence
-(token tree, bands, zigzag, kf y/uv mode trees), header layout,
-transforms, prediction, dequant rules, loop filter — follows RFC 6386.
-Reference behavior to match: cv2.imdecode accepts lossy WebP
-(``/root/reference/src/img2table/document/image.py:25-32``).
+Real-world interop (round 4): the RFC 6386 constant tables live in
+``vp8_tables.py`` — token default probabilities (§13.5), update gates
+(§13.4), contextual keyframe B-mode probabilities (§11.4), quantizer
+lookups (§14.1) — and the decoder is pinned PIXEL-EXACT against real
+libwebp output on libwebp-encoded streams (tests/test_vp8_interop.py:
+YUV planes via WebPDecodeYUV and RGB via WebPDecodeRGB, many sizes and
+qualities, loop filter on).  That includes libwebp's border prediction
+conventions (virtual above row 127 / left column 129 and the corner
+rule), the MB-top-right above-right quirk for right-column subblocks,
+the per-MB raster loop-filter order, fancy chroma upsampling and the
+14-bit fixed-point YUV->RGB of yuv.h.  The encoder's streams decode
+bit-exactly in libwebp as well (both directions tested).
+Reference behavior matched: cv2.imdecode accepts lossy WebP
+(``/root/reference/src/img2table/document/image.py:25-32``) and cv2
+wraps this same libwebp pipeline.
 """
 
 from __future__ import annotations
@@ -45,6 +43,14 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from img2table_ray.imgops.vp8_tables import (
+    AC_QLOOKUP_T as _AC_Q_T,
+    COEFF_UPDATE_PROBS_T as _UPDATE_PROBS_T,
+    DC_QLOOKUP_T as _DC_Q_T,
+    DEFAULT_COEFF_PROBS_T as _DEFAULT_COEFF_T,
+    KF_BMODE_PROBS_T as _KF_BMODE_T,
+)
 
 
 class Vp8Error(ValueError):
@@ -209,8 +215,9 @@ _TREE_PATHS: dict = {}
 
 # intra modes
 DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
-# 4x4 sub-modes
-B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU = range(10)
+# 4x4 sub-modes — RFC 6386/libwebp numbering (the order matters: these
+# values index KF_BMODE_PROBS, whose rows are laid out by this enum)
+B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU = range(10)
 
 KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
 KF_YMODE_PROBS = (145, 156, 163, 128)
@@ -227,11 +234,15 @@ BMODE_TREE = (
     -B_VL, 16,
     -B_HD, -B_HU,
 )
-# [UNVERIFIED] one shared distribution for every (above, left) context —
-# the RFC's 10x10x9 table could not be transcribed offline; see module
-# docstring.  Encoder and decoder share this table, so streams from
-# encode_vp8 round-trip exactly.
-KF_BMODE_PROBS_FLAT = (120, 90, 110, 128, 128, 128, 128, 128, 128)
+# keyframe 4x4 sub-mode probabilities conditioned on the (above, left)
+# neighbour sub-modes — RFC 6386 §11.4 (vp8_tables.py)
+KF_BMODE_PROBS = tuple(
+    tuple(_KF_BMODE_T[(a * 10 + l) * 9:(a * 10 + l) * 9 + 9]
+          for l in range(10))
+    for a in range(10))
+# MB-level modes map onto sub-mode context when the neighbour MB is not
+# B_PRED (DC->B_DC, V->B_VE, H->B_HE, TM->B_TM); out-of-frame = B_DC
+MODE_TO_SUBMODE = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
 
 # coefficient tokens
 DCT_0, DCT_1, DCT_2, DCT_3, DCT_4 = 0, 1, 2, 3, 4
@@ -262,37 +273,23 @@ CAT_BASE = (5, 7, 11, 19, 35, 67)
 COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
 ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
-# 4 block types x 8 bands x 3 contexts x 11 tree probs.
-# [UNVERIFIED] flat defaults (see module docstring); the encoder ships
-# measured probabilities as in-stream updates so real statistics ride in
-# the bitstream itself.
+# 4 block types x 8 bands x 3 contexts x 11 tree probs — the RFC 6386
+# §13.5 default token probabilities (vp8_tables.py)
 N_TYPES, N_BANDS, N_CTX, N_PROBS = 4, 8, 3, 11
 
 
 def default_coeff_probs() -> np.ndarray:
-    return np.full((N_TYPES, N_BANDS, N_CTX, N_PROBS), 128, np.int32)
+    return np.array(_DEFAULT_COEFF_T, np.int32).reshape(
+        N_TYPES, N_BANDS, N_CTX, N_PROBS)
 
 
-# [UNVERIFIED] flat update gates: P(no update) = 252/256.
-COEFF_UPDATE_PROB = 252
+# per-position update gates (RFC 6386 §13.4), same shape
+COEFF_UPDATE_PROBS = np.array(_UPDATE_PROBS_T, np.int32).reshape(
+    N_TYPES, N_BANDS, N_CTX, N_PROBS)
 
-# Quantizer lookups (qindex 0..127).  Best-effort transcription of the
-# RFC 6386 §14.1 tables' shape: dc 4..157, ac 4..284, monotone with the
-# documented early-linear / late-accelerating profile.  [UNVERIFIED] in
-# the middle range — encoder and decoder share them, so round-trips are
-# unaffected; absolute rate/quality calibration vs libvpx may differ.
-def _build_qlookup() -> tuple[np.ndarray, np.ndarray]:
-    dc = np.zeros(128, np.int32)
-    ac = np.zeros(128, np.int32)
-    for i in range(128):
-        ac[i] = 4 + round(i * 1.2 + (i * i) * 0.0096)
-        dc[i] = 4 + round(i * 0.75 + (i * i) * 0.0036)
-    dc = np.minimum(dc, 157)
-    ac = np.minimum(ac, 284)
-    return dc, ac
-
-
-DC_QLOOKUP, AC_QLOOKUP = _build_qlookup()
+# Quantizer lookups (qindex 0..127) — RFC 6386 §14.1 (vp8_tables.py)
+DC_QLOOKUP = np.array(_DC_Q_T, np.int32)
+AC_QLOOKUP = np.array(_AC_Q_T, np.int32)
 
 
 def _clamp_q(q: int) -> int:
@@ -305,8 +302,12 @@ def dequant_factors(qindex: int, deltas: dict[str, int]) -> dict[str, int]:
     y1dc = int(DC_QLOOKUP[_clamp_q(q + deltas.get("y1dc", 0))])
     y1ac = int(AC_QLOOKUP[q])
     y2dc = int(DC_QLOOKUP[_clamp_q(q + deltas.get("y2dc", 0))]) * 2
-    y2ac = int(AC_QLOOKUP[_clamp_q(q + deltas.get("y2ac", 0))]) * 155 // 100
+    # y2ac scale: libwebp/libvpx compute * 101581 >> 16 (= 155/100 in
+    # Q16), clamped below at 8 — exact integer parity matters
+    y2ac = (int(AC_QLOOKUP[_clamp_q(q + deltas.get("y2ac", 0))])
+            * 101581) >> 16
     y2ac = max(8, y2ac)
+    # uv dc index clamps at 117 (table value 132) per §14.1
     uvdc = min(132, int(DC_QLOOKUP[_clamp_q(q + deltas.get("uvdc", 0))]))
     uvac = int(AC_QLOOKUP[_clamp_q(q + deltas.get("uvac", 0))])
     return {"y1dc": y1dc, "y1ac": y1ac, "y2dc": y2dc, "y2ac": y2ac,
@@ -436,10 +437,17 @@ def predict_block(plane: np.ndarray, y0: int, x0: int, size: int,
     if mode == H_PRED:
         left = plane[y0 : y0 + size, x0 - 1] if have_left else np.full(size, 129, np.int32)
         return np.repeat(left[:, None], size, axis=1).astype(np.int32)
-    # TM_PRED
+    # TM_PRED — border convention matches libwebp/RFC: the virtual above
+    # row is 127 (incl. its left extension), the virtual left column is
+    # 129 (incl. its top extension), top row wins at the corner
     above = plane[y0 - 1, x0 : x0 + size] if have_above else np.full(size, 127, np.int32)
     left = plane[y0 : y0 + size, x0 - 1] if have_left else np.full(size, 129, np.int32)
-    tl = int(plane[y0 - 1, x0 - 1]) if (have_above and have_left) else 128
+    if have_above and have_left:
+        tl = int(plane[y0 - 1, x0 - 1])
+    elif have_above:
+        tl = 129  # leftmost column, non-top row
+    else:
+        tl = 127  # top row (with or without left)
     p = left[:, None].astype(np.int32) + above[None, :].astype(np.int32) - tl
     return np.clip(p, 0, 255)
 
@@ -755,17 +763,28 @@ def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
     vectorized along the edge; ``ext_mask`` restricts application (used
     by the batched whole-frame passes)."""
     p3, p2, p1, p0, q0, q1, q2, q3 = px
+    d0 = p0 - q0
+    d1 = p1 - q1
+    # early-outs, load-bearing for throughput on document images: a
+    # uniform edge (d0 == d1 == 0 everywhere) filters to itself (every
+    # update term is a function of w = 3*d0' + d1'), and an edge whose
+    # outer threshold fails everywhere never writes
+    if not d0.any() and not d1.any():
+        return
+    thresh = np.abs(d0) * 2 + (np.abs(d1) >> 1) <= edge_limit
+    if ext_mask is not None:
+        thresh &= ext_mask
+    if not thresh.any():
+        return
     mask = (
-        (np.abs(p3 - p2) <= interior)
+        thresh
+        & (np.abs(p3 - p2) <= interior)
         & (np.abs(p2 - p1) <= interior)
         & (np.abs(p1 - p0) <= interior)
         & (np.abs(q1 - q0) <= interior)
         & (np.abs(q2 - q1) <= interior)
         & (np.abs(q3 - q2) <= interior)
-        & (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit)
     )
-    if ext_mask is not None:
-        mask &= ext_mask
     hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
     # signed-8-bit domain
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
@@ -804,9 +823,15 @@ def _simple_filter_edge(px: list[np.ndarray], edge_limit: int,
                         ext_mask=None) -> None:
     """Simple loop filter (Y only): adjusts p0/q0."""
     p1, p0, q0, q1 = px
-    mask = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit
+    d0 = p0 - q0
+    d1 = p1 - q1
+    if not d0.any() and not d1.any():  # uniform edge: w == 0, no-op
+        return
+    mask = np.abs(d0) * 2 + (np.abs(d1) >> 1) <= edge_limit
     if ext_mask is not None:
         mask = mask & ext_mask
+    if not mask.any():
+        return
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
     w = _s8(_s8(P1 - Q1) + 3 * (Q0 - P0))
     f1 = _s8(w + 4) >> 3
@@ -815,67 +840,52 @@ def _simple_filter_edge(px: list[np.ndarray], edge_limit: int,
     p0[mask] = np.clip(P0[mask] + f2[mask] + 128, 0, 255)
 
 
-def _loop_filter_plane(plane: np.ndarray, mb_size: int, level: int,
-                       sharpness: int, simple: bool,
-                       inner: np.ndarray, mb_mask=None) -> None:
-    """Filter one plane in place.  ``inner[my, mx]`` says whether the MB's
-    interior 4x4 edges are filtered (False for skipped no-coeff MBs);
-    ``mb_mask`` restricts MB-boundary edges to the selected MBs (used to
-    apply distinct per-MB filter levels in several passes).
+def _filter_mb_normal(p: np.ndarray, y0: int, x0: int, size: int,
+                      lims: tuple, fin: bool, left_edge: bool,
+                      top_edge: bool) -> None:
+    """Normal-profile filtering of one MB's edges in libwebp's DoFilter
+    order: left MB edge, interior vertical edges, top MB edge, interior
+    horizontal edges.  The per-MB raster schedule is load-bearing: a
+    top edge writes into the MB above, whose pixels the NEXT column's
+    left edge reads, so neither rows nor columns can be batched without
+    changing results (a column-batched variant was tried and produced
+    real chroma diffs vs libwebp).  Throughput comes from the edge
+    kernels' early-outs instead."""
+    interior, hev_t, mb_lim, sub_lim = lims
+    if left_edge:
+        px = [p[y0 : y0 + size, x0 + k] for k in range(-4, 4)]
+        _normal_filter_edge(px, interior, hev_t, mb_lim, True)
+    if fin:
+        for sx in range(4, size, 4):
+            px = [p[y0 : y0 + size, x0 + sx + k] for k in range(-4, 4)]
+            _normal_filter_edge(px, interior, hev_t, sub_lim, False)
+    if top_edge:
+        px = [p[y0 + k, x0 : x0 + size] for k in range(-4, 4)]
+        _normal_filter_edge(px, interior, hev_t, mb_lim, True)
+    if fin:
+        for sy in range(4, size, 4):
+            px = [p[y0 + sy + k, x0 : x0 + size] for k in range(-4, 4)]
+            _normal_filter_edge(px, interior, hev_t, sub_lim, False)
 
-    Ordering caveat: the RFC interleaves per-MB (left edge, interior
-    vertical, top edge, interior horizontal in raster MB order); this
-    implementation runs whole-frame passes per edge OFFSET (all MB
-    edges, then each interior offset — same-offset windows are disjoint,
-    so each pass is one strided vector operation), which can differ at
-    MB-boundary pixels.  Encoder reconstruction and decoder share this
-    exact function, so round-trips are bit-identical; decoding of
-    foreign (libvpx) streams may deviate on those pixels."""
-    interior, hev_t, mb_lim, sub_lim = _filter_limits(level, sharpness)
-    h, w = plane.shape
-    mbs_y = h // mb_size
-    mbs_x = w // mb_size
-    p = plane  # int32 view
-    if mb_mask is None:
-        mb_mask = np.ones((mbs_y, mbs_x), bool)
 
-    # All edges at the same x-offset-within-MB are disjoint windows, so
-    # one strided-slice pass filters that offset for EVERY MB column at
-    # once (the k-offset slices are views — filter writes go straight
-    # through).  Offsets are still processed sequentially because their
-    # 8-pixel windows overlap within an MB.
-    def v_pass(start_x: int, n: int, mbm: np.ndarray, lim: int,
-               mb_edge: bool) -> None:
-        if n <= 0 or not mbm.any():
-            return
-        ext = np.repeat(mbm, mb_size, axis=0)  # (h, n)
-        if simple:
-            px = [p[:, start_x + k :: mb_size][:, :n] for k in range(-2, 2)]
-            _simple_filter_edge(px, lim, ext)
-        else:
-            px = [p[:, start_x + k :: mb_size][:, :n] for k in range(-4, 4)]
-            _normal_filter_edge(px, interior, hev_t, lim, mb_edge, ext)
-
-    def h_pass(start_y: int, n: int, mbm: np.ndarray, lim: int,
-               mb_edge: bool) -> None:
-        if n <= 0 or not mbm.any():
-            return
-        ext = np.repeat(mbm, mb_size, axis=1)  # (n, w)
-        if simple:
-            px = [p[start_y + k :: mb_size, :][:n] for k in range(-2, 2)]
-            _simple_filter_edge(px, lim, ext)
-        else:
-            px = [p[start_y + k :: mb_size, :][:n] for k in range(-4, 4)]
-            _normal_filter_edge(px, interior, hev_t, lim, mb_edge, ext)
-
-    # vertical: MB edges (x = m*mb_size, m>=1), then interior offsets
-    v_pass(mb_size, mbs_x - 1, mb_mask[:, 1:], mb_lim, True)
-    for sub in range(4, mb_size, 4):
-        v_pass(sub, mbs_x, inner, sub_lim, False)
-    # horizontal: MB edges, then interior offsets
-    h_pass(mb_size, mbs_y - 1, mb_mask[1:, :], mb_lim, True)
-    for sub in range(4, mb_size, 4):
-        h_pass(sub, mbs_y, inner, sub_lim, False)
+def _filter_mb_simple(p: np.ndarray, y0: int, x0: int, lims: tuple,
+                      fin: bool, left_edge: bool, top_edge: bool) -> None:
+    """Simple-profile filtering (Y plane only), same per-MB edge order."""
+    _, _, mb_lim, sub_lim = lims
+    if left_edge:
+        px = [p[y0 : y0 + 16, x0 + k] for k in range(-2, 2)]
+        _simple_filter_edge(px, mb_lim)
+    if fin:
+        for sx in range(4, 16, 4):
+            px = [p[y0 : y0 + 16, x0 + sx + k] for k in range(-2, 2)]
+            _simple_filter_edge(px, sub_lim)
+    if top_edge:
+        px = [p[y0 + k, x0 : x0 + 16] for k in range(-2, 2)]
+        _simple_filter_edge(px, mb_lim)
+    if fin:
+        for sy in range(4, 16, 4):
+            px = [p[y0 + sy + k, x0 : x0 + 16] for k in range(-2, 2)]
+            _simple_filter_edge(px, sub_lim)
 
 
 # ---------------------------------------------------------------------------
@@ -902,19 +912,65 @@ def rgb_to_yuv420(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.clip(sub(v), 0, 255).astype(np.int32))
 
 
+def _fancy_upsample_plane(c: np.ndarray, h: int, w: int) -> np.ndarray:
+    """libwebp's "fancy" 4:2:0 chroma upsampler (upsampling.c), exact
+    integer arithmetic: half-phase bilinear built from the per-pair
+    diagonal averages, borders mirrored.  ``c`` is the (ceil(h/2),
+    ceil(w/2)) chroma plane; returns the (h, w) upsampled plane."""
+    c = c.astype(np.int32)
+    ch, cw = c.shape
+    out = np.empty((h, w), np.int32)
+
+    def row_pair(tr: np.ndarray, cr: np.ndarray):
+        """One chroma row pair -> (top_row, bottom_row) of length w."""
+        tl, t = tr[:-1], tr[1:]
+        l_, cu = cr[:-1], cr[1:]
+        avg = tl + t + l_ + cu + 8
+        diag12 = (avg + 2 * (t + l_)) >> 3
+        diag03 = (avg + 2 * (tl + cu)) >> 3
+        top = np.empty(w, np.int32)
+        bot = np.empty(w, np.int32)
+        top[0] = (3 * tr[0] + cr[0] + 2) >> 2
+        bot[0] = (3 * cr[0] + tr[0] + 2) >> 2
+        n = len(tl)  # pairs
+        top[1 : 2 * n : 2] = (diag12 + tl) >> 1
+        top[2 : 2 * n + 1 : 2] = (diag03 + t) >> 1
+        bot[1 : 2 * n : 2] = (diag03 + l_) >> 1
+        bot[2 : 2 * n + 1 : 2] = (diag12 + cu) >> 1
+        if w % 2 == 0:
+            top[w - 1] = (3 * tr[-1] + cr[-1] + 2) >> 2
+            bot[w - 1] = (3 * cr[-1] + tr[-1] + 2) >> 2
+        return top, bot
+
+    # first output row mirrors chroma row 0 against itself
+    out[0], _ = row_pair(c[0], c[0])
+    for k in range(1, ch):
+        top, bot = row_pair(c[k - 1], c[k])
+        if 2 * k - 1 < h:
+            out[2 * k - 1] = top
+        if 2 * k < h:
+            out[2 * k] = bot
+    if h % 2 == 0 and h >= 2:
+        out[h - 1], _ = row_pair(c[ch - 1], c[ch - 1])
+    return out
+
+
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`rgb_to_yuv420` (chroma upsampled by replication —
-    "fancy upsampling" off).  Returns (H, W, 3) uint8."""
+    """YUV 4:2:0 -> (H, W, 3) uint8 RGB, matching libwebp's default
+    output pixel-exactly (the reference's cv2.imdecode goes through
+    libwebp): fancy chroma upsampling + the 14-bit fixed-point BT.601
+    conversion of yuv.h (R = clip((19077 y * + 26149 v*) - 14234 >> 6)
+    etc., where x* = (x * coeff) >> 8)."""
     h, w = y.shape
-    u2 = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.int64)
-    v2 = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.int64)
-    c = y.astype(np.int64) - 16
-    d = u2 - 128
-    e = v2 - 128
-    r = (76309 * c + 104597 * e + 32768) >> 16
-    g = (76309 * c - 25675 * d - 53279 * e + 32768) >> 16
-    b = (76309 * c + 132201 * d + 32768) >> 16
-    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    yy = y.astype(np.int32)
+    uu = _fancy_upsample_plane(u, h, w)
+    vv = _fancy_upsample_plane(v, h, w)
+    ys = (yy * 19077) >> 8
+    r = ys + ((vv * 26149) >> 8) - 14234
+    g = ys - ((uu * 6419) >> 8) - ((vv * 13320) >> 8) + 8708
+    b = ys + ((uu * 33050) >> 8) - 17685
+    rgb = np.stack([r, g, b], -1)
+    return np.clip(rgb >> 6, 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -980,11 +1036,12 @@ def _parse_keyframe_header(bd: BoolDecoder) -> _Header:
             h.qdeltas[name] = bd.signed(4)
     bd.bool(128)  # refresh entropy probs (keyframe: state not kept here)
     probs = default_coeff_probs()
+    upd = COEFF_UPDATE_PROBS
     for t in range(N_TYPES):
         for b in range(N_BANDS):
             for c in range(N_CTX):
                 for p in range(N_PROBS):
-                    if bd.bool(COEFF_UPDATE_PROB):
+                    if bd.bool(int(upd[t, b, c, p])):
                         probs[t, b, c, p] = bd.literal(8)
     h.coeff_probs = probs
     h.skip_enabled = bool(bd.bool(128))
@@ -1052,13 +1109,29 @@ class _Recon:
         self.u = np.zeros((mb_h * 8 + 1, mb_w * 8 + 1), np.int32)
         self.v = np.zeros((mb_h * 8 + 1, mb_w * 8 + 1), np.int32)
 
-    def _bpred_ctx(self, mby: int, mbx: int, r: int, c: int):
-        """(above8, left4, topleft) for Y subblock (r, c) of MB (mby, mbx).
+    def _mb_top_right(self, mby: int, mbx: int) -> np.ndarray:
+        """The MB-level top-right 4 pixels (libwebp ``top_right``): row
+        above the MB, columns 16..19.  127 off the top edge; the above
+        MB's last pixel replicated off the right edge.  libwebp
+        replicates this SAME vector for every subblock row, so
+        right-column subblocks below the top row do NOT read the
+        current row's neighbours (the famous VP8 above-right quirk)."""
+        plane = self.y
+        if mby == 0:
+            return np.full(4, 127, np.int32)
+        row = mby * 16  # surface row of the above MB's bottom pixel row
+        if mbx == self.mb_w - 1:
+            return np.full(4, int(plane[row, mbx * 16 + 16]), np.int32)
+        return plane[row, 1 + mbx * 16 + 16 : 1 + mbx * 16 + 20].astype(
+            np.int32)
 
-        Above-right convention (matches libvpx): right-column subblocks
-        below the top row reuse the above-MB bottom row; off-frame
-        above-right replicates above[3] (handled by the caller's slice
-        bounds here)."""
+    def _bpred_ctx(self, mby: int, mbx: int, r: int, c: int):
+        """(above8, left4, topleft) for Y subblock (r, c) of MB (mby, mbx),
+        with libwebp's exact border conventions: virtual above row = 127
+        (its corner extension included), virtual left column = 129, the
+        top row's 127 winning at the frame corner; right-column
+        subblocks take ``_mb_top_right`` as their above-right for every
+        row."""
         plane = self.y
         y0 = 1 + mby * 16 + 4 * r
         x0 = 1 + mbx * 16 + 4 * c
@@ -1066,22 +1139,19 @@ class _Recon:
         have_left = mbx > 0 or c > 0
         if have_above:
             above = plane[y0 - 1, x0 : x0 + 4].astype(np.int32)
-            if c == 3:
-                ar_row = mby * 16  # above-MB bottom row (surface coords)
-                ar_ok = mby > 0 and (x0 + 8) <= plane.shape[1]
-            else:
-                ar_row = y0 - 1
-                ar_ok = True
-            if ar_ok:
-                ar = plane[ar_row, x0 + 4 : x0 + 8].astype(np.int32)
-            else:
-                ar = np.full(4, int(above[3]), np.int32)
+            ar = (self._mb_top_right(mby, mbx) if c == 3
+                  else plane[y0 - 1, x0 + 4 : x0 + 8].astype(np.int32))
             above8 = np.concatenate([above, ar])
         else:
             above8 = np.full(8, 127, np.int32)
         left = (plane[y0 : y0 + 4, x0 - 1].astype(np.int32)
                 if have_left else np.full(4, 129, np.int32))
-        tl = int(plane[y0 - 1, x0 - 1]) if (have_above and have_left) else 128
+        if have_above and have_left:
+            tl = int(plane[y0 - 1, x0 - 1])
+        elif have_above:
+            tl = 129
+        else:
+            tl = 127
         return above8, left, tl
 
     def recon_mb(self, mby: int, mbx: int, ymode: int, bmodes, uvmode: int,
@@ -1122,20 +1192,37 @@ class _Recon:
 
     def loop_filter(self, mb_levels: np.ndarray, sharpness: int,
                     simple: bool, inner: np.ndarray) -> None:
-        """Apply the in-loop filter with per-MB levels (one vector pass per
-        distinct level)."""
-        for lv in np.unique(mb_levels):
-            lv = int(lv)
-            if lv <= 0:
-                continue
-            sel = mb_levels == lv
-            _loop_filter_plane(self.y[1:, 1:], 16, lv, sharpness, simple,
-                               inner & sel, sel)
-            if not simple:
-                _loop_filter_plane(self.u[1:, 1:], 8, lv, sharpness, False,
-                                   inner & sel, sel)
-                _loop_filter_plane(self.v[1:, 1:], 8, lv, sharpness, False,
-                                   inner & sel, sel)
+        """Apply the in-loop filter in the RFC/libwebp MB raster order:
+        for each MB — left edge, interior vertical edges, top edge,
+        interior horizontal edges.  The order is load-bearing for
+        bit-exactness (edges share pixels with their neighbours), so no
+        whole-frame batching here; each edge op is still vectorized
+        along its 16/8-pixel extent."""
+        mb_h, mb_w = mb_levels.shape
+        y = self.y[1:, 1:]
+        u = self.u[1:, 1:]
+        v = self.v[1:, 1:]
+        limit_cache: dict[int, tuple] = {}
+        for mby in range(mb_h):
+            for mbx in range(mb_w):
+                level = int(mb_levels[mby, mbx])
+                if level <= 0:
+                    continue
+                lims = limit_cache.get(level)
+                if lims is None:
+                    lims = limit_cache[level] = _filter_limits(level,
+                                                               sharpness)
+                fin = bool(inner[mby, mbx])
+                if simple:
+                    _filter_mb_simple(y, mby * 16, mbx * 16, lims,
+                                      fin, mbx > 0, mby > 0)
+                else:
+                    _filter_mb_normal(y, mby * 16, mbx * 16, 16, lims,
+                                      fin, mbx > 0, mby > 0)
+                    _filter_mb_normal(u, mby * 8, mbx * 8, 8, lims,
+                                      fin, mbx > 0, mby > 0)
+                    _filter_mb_normal(v, mby * 8, mbx * 8, 8, lims,
+                                      fin, mbx > 0, mby > 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1241,8 +1328,10 @@ def _decode_mb_levels(bd: BoolDecoder, probs, ctx: _NzCtx, mbx: int,
     return any_nz
 
 
-def decode_vp8(data: bytes) -> np.ndarray:
-    """VP8 keyframe bitstream -> (H, W, 3) uint8 RGB.
+def decode_vp8(data: bytes, yuv: bool = False) -> np.ndarray:
+    """VP8 keyframe bitstream -> (H, W, 3) uint8 RGB (or the raw
+    ``(y, u, v)`` 4:2:0 planes with ``yuv=True`` — the representation
+    libwebp's WebPDecodeYUV exposes, used for plane-exact interop pins).
 
     Two passes: (1) sequential bitstream parse of every MB's modes and
     quantized levels, then ONE vectorized dequant + inverse-WHT + IDCT
@@ -1271,9 +1360,14 @@ def decode_vp8(data: bytes) -> np.ndarray:
     ymodes = np.zeros(n_mb, np.int32)
     uvmodes = np.zeros(n_mb, np.int32)
     all_bmodes: list = [None] * n_mb
+    # b-mode coding context: bottom sub-mode row of the MB above (per MB
+    # column) and right sub-mode column of the MB to the left; frame
+    # borders act as B_DC (RFC 6386 §11.4)
+    above_sub = [[B_DC] * 4 for _ in range(mb_w)]
     i = 0
     for mby in range(mb_h):
         ctx.new_row()
+        left_sub = [B_DC] * 4
         bd_t = parts[mby % len(parts)]
         for mbx in range(mb_w):
             seg_id = 0
@@ -1282,8 +1376,20 @@ def decode_vp8(data: bytes) -> np.ndarray:
             skip = bool(bd0.bool(hdr.prob_skip)) if hdr.skip_enabled else False
             ymode = bd0.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
             if ymode == B_PRED:
-                all_bmodes[i] = [bd0.tree(BMODE_TREE, KF_BMODE_PROBS_FLAT)
-                                 for _ in range(16)]
+                modes = []
+                asub = above_sub[mbx]
+                for j in range(16):
+                    r_, c_ = j >> 2, j & 3
+                    a = modes[j - 4] if r_ else asub[c_]
+                    lft = modes[j - 1] if c_ else left_sub[r_]
+                    modes.append(bd0.tree(BMODE_TREE, KF_BMODE_PROBS[a][lft]))
+                all_bmodes[i] = modes
+                above_sub[mbx] = modes[12:16]
+                left_sub = [modes[3], modes[7], modes[11], modes[15]]
+            else:
+                sub = MODE_TO_SUBMODE[ymode]
+                above_sub[mbx] = [sub] * 4
+                left_sub = [sub] * 4
             uvmode = bd0.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
             has_y2 = ymode != B_PRED
             if skip:
@@ -1328,6 +1434,8 @@ def decode_vp8(data: bytes) -> np.ndarray:
     y = rec.y[1 : 1 + height, 1 : 1 + width]
     u = rec.u[1 : 1 + (height + 1) // 2, 1 : 1 + (width + 1) // 2]
     v = rec.v[1 : 1 + (height + 1) // 2, 1 : 1 + (width + 1) // 2]
+    if yuv:
+        return y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8)
     return yuv420_to_rgb(y, u, v)
 
 
@@ -1567,21 +1675,35 @@ def encode_vp8(img: np.ndarray, qindex: int = 40, use_bpred: bool = False,
         for b in range(N_BANDS):
             for c in range(N_CTX):
                 for p in range(N_PROBS):
+                    gate = int(COEFF_UPDATE_PROBS[t, b, c, p])
                     if probs[t, b, c, p] != dflt[t, b, c, p]:
-                        be.bool(1, COEFF_UPDATE_PROB)
+                        be.bool(1, gate)
                         be.literal(int(probs[t, b, c, p]), 8)
                     else:
-                        be.bool(0, COEFF_UPDATE_PROB)
+                        be.bool(0, gate)
     be.bool(1, 128)  # mb_no_coeff_skip
     be.literal(prob_skip, 8)
+    above_sub = [[B_DC] * 4 for _ in range(mb_w)]
     for mby in range(mb_h):
+        left_sub = [B_DC] * 4
         for mbx in range(mb_w):
             info = infos[mby][mbx]
             be.bool(1 if info["skip"] else 0, prob_skip)
             be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, info["ymode"])
             if info["ymode"] == B_PRED:
-                for m in info["bmodes"]:
-                    be.tree(BMODE_TREE, KF_BMODE_PROBS_FLAT, m)
+                modes = info["bmodes"]
+                asub = above_sub[mbx]
+                for j, m in enumerate(modes):
+                    r_, c_ = j >> 2, j & 3
+                    a = modes[j - 4] if r_ else asub[c_]
+                    lft = modes[j - 1] if c_ else left_sub[r_]
+                    be.tree(BMODE_TREE, KF_BMODE_PROBS[a][lft], m)
+                above_sub[mbx] = list(modes[12:16])
+                left_sub = [modes[3], modes[7], modes[11], modes[15]]
+            else:
+                sub = MODE_TO_SUBMODE[info["ymode"]]
+                above_sub[mbx] = [sub] * 4
+                left_sub = [sub] * 4
             be.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, info["uvmode"])
     first_part = be.flush()
 
@@ -1609,13 +1731,11 @@ def encode_vp8(img: np.ndarray, qindex: int = 40, use_bpred: bool = False,
     return stream, yuv420_to_rgb(ry, ru, rv)
 
 
-# Marker chunk stamped into self-encoded lossy WebPs.  This encoder
-# transmits EVERY coefficient probability in-stream (so its streams never
-# rely on the RFC 6386 §13.5 default tables this module could not
-# transcribe — see the module docstring); a foreign libwebp/libvpx stream
-# DOES rely on those defaults and would decode to garbage.  decode_webp
-# refuses `VP8 ` chunks unless this marker is present (standard RIFF
-# readers skip unknown chunks, so marked files stay valid WebPs).
+# Provenance marker stamped into self-encoded lossy WebPs.  It used to
+# GATE decoding (round 3, when the default tables were placeholders);
+# since the RFC tables landed and foreign decode is libwebp-pinned the
+# marker is informational only — kept so corpora identify their producer
+# (standard RIFF readers skip unknown chunks, so files stay valid WebPs).
 SELF_ENCODED_CHUNK = b"I2TR" + struct.pack("<I", 4) + b"self"
 
 

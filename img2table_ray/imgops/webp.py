@@ -5,11 +5,10 @@ meta prefix (huffman) images, color cache, LZ77 backward references with
 the 120-entry 2-D distance map, and all four transforms (predictor with
 the full 14-mode set, color transform, subtract-green, color indexing
 with pixel bundling).  Lossy ``VP8 `` chunks route to the intra-frame
-decoder in ``vp8.py`` ONLY for self-encoded (``I2TR``-marked) containers;
-foreign lossy files raise ``WebpError`` — the VP8 default probability
-tables are not spec-transcribed, so foreign streams would decode to
-silent garbage — and such rows become counted error records upstream
-(manifest ``errors_by_format``).
+decoder in ``vp8.py``, which is pinned pixel-exact against real libwebp
+output (RFC 6386 tables in ``vp8_tables.py``, fancy chroma upsampling,
+fixed-point YUV->RGB; tests/test_vp8_interop.py) — foreign
+libwebp/libvpx streams decode for real since round 4.
 
 The reference accepts WebP implicitly through cv2.imdecode
 (/root/reference/src/img2table/document/image.py:25-32, libwebp under the
@@ -654,37 +653,25 @@ def _riff_chunks(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def decode_webp(data: bytes, allow_foreign_vp8: bool = False) -> np.ndarray:
+def decode_webp(data: bytes, allow_foreign_vp8: bool = True) -> np.ndarray:
     """RIFF container -> first VP8L (lossless) or VP8 (lossy keyframe)
     image as (H, W, 3) uint8 RGB.
 
-    Lossy ``VP8 `` chunks decode ONLY when the container carries the
-    ``I2TR`` self-encoded marker (vp8.py SELF_ENCODED_CHUNK): the VP8
-    decoder's default probability tables are not spec-transcribed (no RFC
-    text in this container), so a foreign libwebp/libvpx stream would
-    desynchronize and return correctly-shaped garbage with no error.
-    Self-encoded streams transmit every probability in-stream and
-    round-trip bit-exactly.  Foreign lossy files fail LOUD (WebpError →
-    a counted errors_by_format row), matching the counted-error design;
-    ``allow_foreign_vp8=True`` (or GRAFT_ALLOW_FOREIGN_VP8=1) opts into
-    best-effort decode for callers who accept the caveat."""
+    Lossy ``VP8 `` chunks decode through ``vp8.py``, which since round 4
+    carries the real RFC 6386 default tables (``vp8_tables.py``) and is
+    pinned pixel-exact against libwebp output on foreign streams
+    (tests/test_vp8_interop.py), so the round-3 self-encoded-only gate is
+    gone.  ``allow_foreign_vp8`` is kept for signature compatibility and
+    ignored."""
+    del allow_foreign_vp8
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP file")
-    self_encoded = any(tag == b"I2TR" for tag, _ in _riff_chunks(data))
     for tag, payload in _riff_chunks(data):
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            import os
-
             from img2table_ray.imgops.vp8 import Vp8Error, decode_vp8
 
-            if not (self_encoded or allow_foreign_vp8
-                    or os.environ.get("GRAFT_ALLOW_FOREIGN_VP8")):
-                raise WebpError(
-                    "foreign lossy VP8 stream: decoder probability tables "
-                    "are not spec-pinned; refusing to return unverified "
-                    "pixels (set allow_foreign_vp8 to override)")
             try:
                 return decode_vp8(payload)
             except Vp8Error as exc:

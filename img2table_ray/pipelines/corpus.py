@@ -32,7 +32,10 @@ def corpus_for(sf_dir: str) -> str:
     synth_only = bool(os.environ.get("GRAFT_SYNTH_CORPUS"))
     dir_name = f"synth-{sf_name}" if synth_only else sf_name
     out = os.path.join(CORPUS_ROOT, dir_name)
-    marker = os.path.join(out, f".complete-v12-{n_rows}")  # v12: arithmetic JPEG rows
+    # v13: VP8 rows re-encoded against the real RFC 6386 tables
+    # (vp8_tables.py) — pre-v13 lossy-WebP rows used placeholder default
+    # probabilities and do not parse under the table-correct decoder
+    marker = os.path.join(out, f".complete-v13-{n_rows}")
     if not os.path.exists(marker):
         generate_pages(out, n_rows, include_fixtures=not synth_only)
         with open(marker, "w") as f:

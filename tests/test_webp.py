@@ -104,13 +104,10 @@ def test_synth_page_through_decode_image():
 
 
 def test_lossy_and_corrupt_raise():
-    # unmarked (foreign) lossy VP8 refuses LOUD, before bitstream parse
-    with pytest.raises(WebpError, match="foreign"):
-        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00")
-    # opt-in flag reaches the VP8 parser (which then rejects the garbage)
+    # foreign lossy VP8 decodes for real since round 4 (libwebp-pinned,
+    # test_vp8_interop.py); GARBAGE payloads still fail loud
     with pytest.raises(WebpError, match="lossy"):
-        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00",
-                    allow_foreign_vp8=True)
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00")
     with pytest.raises(WebpError):
         decode_webp(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
     with pytest.raises(WebpError):
