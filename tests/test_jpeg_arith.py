@@ -137,6 +137,33 @@ def test_live_bidirectional_interop(tmp_path):
         assert np.array_equal(mine, ref), (trial, "encode")
 
 
+def test_live_huffman_decoder_matches_libjpeg(tmp_path):
+    """Differential test of the BASELINE/PROGRESSIVE Huffman decoder
+    against real libjpeg — the integer-level parity jpeg.py claims
+    (islow IDCT, fancy upsampling, fixed-point YCbCr) made directly
+    checkable now that a libjpeg oracle exists."""
+    exe = _oracle(str(tmp_path))
+    rng = np.random.RandomState(7)
+    for trial, (h, w, nc, q, prog) in enumerate([
+            (48, 64, 1, 85, 0), (56, 72, 3, 75, 0), (41, 53, 3, 90, 1),
+            (64, 64, 3, 30, 0), (48, 48, 1, 95, 1)]):
+        img = rng.randint(0, 256, (h, w, nc)).astype(np.uint8).squeeze()
+        raw = str(tmp_path / f"h{trial}.raw")
+        open(raw, "wb").write(img.tobytes())
+        jp = str(tmp_path / f"h{trial}.jpg")
+        subprocess.run([exe, "encode", raw, str(w), str(h), str(nc),
+                        str(q), "0", str(prog), "0", jp], check=True)
+        rr = str(tmp_path / f"h{trial}.raw.out")
+        subprocess.run([exe, "decode", jp, rr], check=True,
+                       capture_output=True)
+        ref = np.frombuffer(open(rr, "rb").read(), np.uint8)
+        ref = ref.reshape(h, w, -1).squeeze()
+        mine = decode_jpeg(open(jp, "rb").read())
+        if ref.ndim == 2 and mine.ndim == 3:
+            mine = mine[..., 0]
+        assert np.array_equal(mine, ref), (trial, h, w, nc, q, prog)
+
+
 def test_live_encoder_bytes_match_libjpeg(tmp_path):
     """Strongest pin: for a grayscale image our arithmetic entropy
     stream is byte-identical to libjpeg's (same coefficients, same
