@@ -9,8 +9,9 @@ rasterizes the page's VECTOR content itself:
 * path fills (``m l c v y h re`` + ``f/f*/B/B*/b/b*``) via a numpy
   scanline fill (even-odd and nonzero winding);
 * strokes (``S/s``) as filled quads of the CTM-scaled line width;
-* rectangular clips (``re W n``; non-rect clip paths are approximated
-  by their bounding box — documented approximation);
+* clip paths (``W``/``W*``): rectangles as bbox fast path, arbitrary
+  paths rasterized to an antialiased coverage mask that gates fills,
+  strokes and image blits;
 * image XObjects (Flate or DCT-coded, gray/RGB/CMYK) sampled through
   the inverse CTM; Form XObjects recurse with their matrix;
 * text ink: REAL glyph outlines for all three embedded font program
@@ -23,12 +24,14 @@ rasterizes the page's VECTOR content itself:
   class-varying heights (both properties are load-bearing against the
   metrics dot/dashed-line filters).
 
-Remaining deltas vs pdfium: no antialiasing (hard pixel-center
-coverage) and glyph placement rounds to whole pixels.
-The e2e test pins this module against the reference's own fixture
-asserts (``/root/reference/tests/document/pdf/test_pdf.py:49-73``):
-per-page table count, title, row/column shape, and bbox within one
-pixel.
+Path fills and strokes render ANTIALIASED area coverage like pdfium
+(exact fractional x coverage, sub-scanline y, linear blend) — the e2e
+test pins this module against the reference's own fixture asserts
+(``/root/reference/tests/document/pdf/test_pdf.py:49-73``) EXACTLY,
+including the bboxes: per-page table count, title, row/column shape,
+bbox.  Glyph bitmaps and the box-ink fallback stay hard/binary (the
+metrics dot/dashed-line filters key on their topology); glyph placement
+rounds to whole pixels.
 """
 
 from __future__ import annotations
@@ -73,17 +76,140 @@ def _flatten_bezier(p0, p1, p2, p3):
 
 
 def _clip_intersect(a, b):
+    """Intersect two clips.  A clip is None, an (x0, y0, x1, y1) rect, or
+    a 5-tuple (x0, y0, x1, y1, (r0, c0, mask)) carrying an antialiased
+    coverage mask for non-rectangular paths."""
     if a is None:
         return b
     if b is None:
         return a
-    return (max(a[0], b[0]), max(a[1], b[1]), min(a[2], b[2]), min(a[3], b[3]))
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    if len(a) == 4 and len(b) == 4:
+        return (x0, y0, x1, y1)
+    if x1 <= x0 or y1 <= y0:
+        return (x0, y0, x1, y1)  # empty; mask irrelevant
+    r0, c0 = int(math.floor(y0)), int(math.floor(x0))
+    r1, c1 = int(math.ceil(y1)), int(math.ceil(x1))
+    mask = np.ones((r1 - r0, c1 - c0), np.float32)
+    for clip in (a, b):
+        if len(clip) == 5:
+            mr0, mc0, m = clip[4]
+            # multiply the overlapping region; outside the mask = 0
+            sub = np.zeros_like(mask)
+            ra = max(r0, mr0)
+            rb = min(r1, mr0 + m.shape[0])
+            ca = max(c0, mc0)
+            cb = min(c1, mc0 + m.shape[1])
+            if rb > ra and cb > ca:
+                sub[ra - r0 : rb - r0, ca - c0 : cb - c0] = \
+                    m[ra - mr0 : rb - mr0, ca - mc0 : cb - mc0]
+            mask *= sub
+    return (x0, y0, x1, y1, (r0, c0, mask))
+
+
+def _clip_mask_row(clip, r: int, xlo: int, xhi: int):
+    """Coverage multiplier of clip's mask for row ``r``, columns
+    [xlo, xhi) — or None when the clip has no mask."""
+    if clip is None or len(clip) == 4:
+        return None
+    r0, c0, mask = clip[4]
+    out = np.zeros(xhi - xlo, np.float32)
+    if 0 <= r - r0 < mask.shape[0]:
+        ca = max(xlo, c0)
+        cb = min(xhi, c0 + mask.shape[1])
+        if cb > ca:
+            out[ca - xlo : cb - xlo] = mask[r - r0, ca - c0 : cb - c0]
+    return out
+
+
+def _render_coverage(subpaths, evenodd: bool, w: int, h: int, aa: int = 4):
+    """Rasterize a path's antialiased coverage; returns
+    (r0, c0, mask float32) or None for an empty path."""
+    edges = []
+    for sp in subpaths:
+        n = len(sp)
+        if n < 3:
+            continue
+        for i in range(n):
+            x0, y0 = sp[i]
+            x1, y1 = sp[(i + 1) % n]
+            if y0 != y1:
+                edges.append((x0, y0, x1, y1))
+    if not edges:
+        return None
+    e = np.asarray(edges, np.float64)
+    ex0, ey0, ex1, ey1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    r0 = max(0, int(math.floor(e[:, [1, 3]].min())))
+    r1 = min(h, int(math.ceil(e[:, [1, 3]].max())))
+    c0 = max(0, int(math.floor(e[:, [0, 2]].min())))
+    c1 = min(w, int(math.ceil(e[:, [0, 2]].max())))
+    if r1 <= r0 or c1 <= c0:
+        return None
+    inv_dy = 1.0 / (ey1 - ey0)
+    slope = (ex1 - ex0) * inv_dy
+    mask = np.zeros((r1 - r0, c1 - c0), np.float32)
+    inv_aa = 1.0 / aa
+    for r in range(r0, r1):
+        row = mask[r - r0]
+        for i in range(aa):
+            yc = r + (2 * i + 1) * inv_aa * 0.5
+            for xa, xb in _scan_spans(ex0, ey0, ex1, ey1, slope, yc,
+                                      evenodd, float(c0), float(c1)):
+                a0 = int(math.floor(xa))
+                b0 = min(c1 - 1, int(math.floor(xb)))
+                if a0 == b0:
+                    row[a0 - c0] += xb - xa
+                    continue
+                row[a0 - c0] += a0 + 1 - xa
+                row[a0 + 1 - c0 : b0 - c0] += 1.0
+                row[b0 - c0] += xb - b0
+        np.clip(row * inv_aa, 0.0, 1.0, out=row)
+    return r0, c0, mask
+
+
+def _scan_spans(ex0, ey0, ex1, ey1, slope, yc, evenodd, cx0, cx1):
+    """Crossing spans of one scanline (device x intervals)."""
+    m = (ey0 <= yc) != (ey1 <= yc)
+    if not m.any():
+        return ()
+    xs = ex0[m] + (yc - ey0[m]) * slope[m]
+    if evenodd:
+        xs = np.sort(xs)
+        pairs = zip(xs[0::2], xs[1::2])
+    else:
+        wind = np.where(ey1[m] > ey0[m], 1, -1)
+        order = np.argsort(xs, kind="stable")
+        xs = xs[order]
+        acc = np.cumsum(wind[order])
+        pairs = []
+        start = None
+        for i in range(len(xs)):
+            if start is None and acc[i] != 0:
+                start = xs[i]
+            elif start is not None and acc[i] == 0:
+                pairs.append((start, xs[i]))
+                start = None
+    out = []
+    for xa, xb in pairs:
+        xa = max(xa, cx0)
+        xb = min(xb, cx1)
+        if xb > xa:
+            out.append((xa, xb))
+    return out
 
 
 def _fill_subpaths(canvas: np.ndarray, subpaths, gray: int, evenodd: bool,
-                   clip) -> None:
+                   clip, aa: int = 4) -> None:
     """Scanline-fill closed subpaths (device coords) onto ``canvas``.
-    Pixel (r, c) is inside when its center (c+.5, r+.5) is."""
+
+    ``aa`` >= 2 renders ANTIALIASED area coverage the way pdfium does
+    (exact fractional coverage along x, ``aa`` sub-scanlines along y,
+    linear blend) — load-bearing for the reference bbox parity: pdfium's
+    partially-covered border pixels survive the downstream threshold and
+    widen thin table rules by one pixel on fractional edges.  ``aa=1``
+    keeps the hard pixel-center rule (used for glyph bitmaps, whose
+    binary topology the metrics filters depend on)."""
     h, w = canvas.shape
     edges = []
     for sp in subpaths:
@@ -103,63 +229,126 @@ def _fill_subpaths(canvas: np.ndarray, subpaths, gray: int, evenodd: bool,
     ymax = min(float(h), e[:, [1, 3]].max())
     cx0, cy0, cx1, cy1 = (0.0, 0.0, float(w), float(h))
     if clip is not None:
-        cx0, cy0, cx1, cy1 = clip
+        cx0, cy0, cx1, cy1 = clip[:4]
         ymin = max(ymin, cy0)
         ymax = min(ymax, cy1)
     r0 = max(0, int(math.floor(ymin)))
     r1 = min(h - 1, int(math.ceil(ymax)) - 1)
     inv_dy = 1.0 / (ey1 - ey0)
     slope = (ex1 - ex0) * inv_dy
+
+    if aa <= 1:  # hard pixel-center fill
+        masked = clip is not None and len(clip) == 5
+        for r in range(r0, r1 + 1):
+            for xa, xb in _scan_spans(ex0, ey0, ex1, ey1, slope, r + 0.5,
+                                      evenodd, cx0, cx1):
+                c0 = max(0, int(math.ceil(xa - 0.5)))
+                c1 = min(w, int(math.ceil(xb - 0.5)))
+                if c1 <= c0:
+                    continue
+                if masked:
+                    mrow = _clip_mask_row(clip, r, c0, c1)
+                    sel = mrow >= 0.5
+                    canvas[r, c0:c1][sel] = gray
+                else:
+                    canvas[r, c0:c1] = gray
+        return
+
+    # antialiased: accumulate exact-x coverage over aa sub-scanlines
+    xlo = max(0, int(math.floor(max(cx0, float(e[:, [0, 2]].min())))))
+    xhi = min(w, int(math.ceil(min(cx1, float(e[:, [0, 2]].max())))) + 1)
+    if xhi <= xlo:
+        return
+    cov = np.zeros(xhi - xlo, np.float64)
+    inv_aa = 1.0 / aa
     for r in range(r0, r1 + 1):
-        yc = r + 0.5
-        m = (ey0 <= yc) != (ey1 <= yc)
-        if not m.any():
+        cov[:] = 0.0
+        touched = False
+        for i in range(aa):
+            yc = r + (2 * i + 1) * inv_aa * 0.5
+            if yc < cy0 or yc >= cy1:
+                continue
+            for xa, xb in _scan_spans(ex0, ey0, ex1, ey1, slope, yc,
+                                      evenodd, cx0, cx1):
+                touched = True
+                a0 = max(xlo, int(math.floor(xa)))
+                b0 = min(xhi - 1, int(math.floor(xb)))
+                if a0 == b0:
+                    cov[a0 - xlo] += xb - xa
+                    continue
+                cov[a0 - xlo] += a0 + 1 - xa
+                cov[a0 + 1 - xlo : b0 - xlo] += 1.0
+                if b0 < xhi:
+                    cov[b0 - xlo] += xb - b0
+        if not touched:
             continue
-        xs = ex0[m] + (yc - ey0[m]) * slope[m]
-        if evenodd:
-            xs = np.sort(xs)
-            spans = zip(xs[0::2], xs[1::2])
-        else:
-            wind = np.where(ey1[m] > ey0[m], 1, -1)
-            order = np.argsort(xs, kind="stable")
-            xs = xs[order]
-            acc = np.cumsum(wind[order])
-            spans = []
-            start = None
-            for i in range(len(xs)):
-                if start is None and acc[i] != 0:
-                    start = xs[i]
-                elif start is not None and acc[i] == 0:
-                    spans.append((start, xs[i]))
-                    start = None
-        for xa, xb in spans:
-            xa = max(xa, cx0)
-            xb = min(xb, cx1)
-            c0 = int(math.ceil(xa - 0.5))
-            c1 = int(math.ceil(xb - 0.5))
-            if c1 > c0:
-                canvas[r, max(0, c0) : min(w, c1)] = gray
+        c = cov * inv_aa
+        np.clip(c, 0.0, 1.0, out=c)
+        mrow = _clip_mask_row(clip, r, xlo, xhi)
+        if mrow is not None:
+            c = c * mrow
+        m = c > 0
+        if m.any():
+            row = canvas[r, xlo:xhi]
+            old = row[m].astype(np.float64)  # canvas is uint8: blend in float
+            row[m] = np.rint(old + (gray - old) * c[m]).astype(canvas.dtype)
 
 
-def _fill_rect(canvas: np.ndarray, x0, y0, x1, y1, gray: int, clip) -> None:
+def _fill_rect(canvas: np.ndarray, x0, y0, x1, y1, gray: int, clip,
+               aa: bool = True) -> None:
+    if clip is not None and len(clip) == 5:
+        # masked clip: route through the path filler (mask-aware)
+        quad = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        _fill_subpaths(canvas, [quad], gray, False, clip,
+                       aa=4 if aa else 1)
+        return
     if clip is not None:
         x0, y0 = max(x0, clip[0]), max(y0, clip[1])
         x1, y1 = min(x1, clip[2]), min(y1, clip[3])
     h, w = canvas.shape
-    c0 = max(0, int(math.ceil(x0 - 0.5)))
-    c1 = min(w, int(math.ceil(x1 - 0.5)))
-    r0 = max(0, int(math.ceil(y0 - 0.5)))
-    r1 = min(h, int(math.ceil(y1 - 0.5)))
-    if c1 > c0 and r1 > r0:
-        canvas[r0:r1, c0:c1] = gray
+    if not aa:  # hard pixel-center rule (synthetic text-ink boxes)
+        c0 = max(0, int(math.ceil(x0 - 0.5)))
+        c1 = min(w, int(math.ceil(x1 - 0.5)))
+        r0 = max(0, int(math.ceil(y0 - 0.5)))
+        r1 = min(h, int(math.ceil(y1 - 0.5)))
+        if c1 > c0 and r1 > r0:
+            canvas[r0:r1, c0:c1] = gray
+        return
+    if x1 <= x0 or y1 <= y0:
+        return
+    c0 = max(0, int(math.floor(x0)))
+    c1 = min(w, int(math.ceil(x1)))
+    r0 = max(0, int(math.floor(y0)))
+    r1 = min(h, int(math.ceil(y1)))
+    if c1 <= c0 or r1 <= r0:
+        return
+    colcov = np.clip(np.minimum(np.arange(c0, c1) + 1.0, x1)
+                     - np.maximum(np.arange(c0, c1), x0), 0.0, 1.0)
+    rowcov = np.clip(np.minimum(np.arange(r0, r1) + 1.0, y1)
+                     - np.maximum(np.arange(r0, r1), y0), 0.0, 1.0)
+    cov = rowcov[:, None] * colcov[None, :]
+    region = canvas[r0:r1, c0:c1]
+    old = region.astype(np.float64)  # canvas is uint8: blend in float
+    region[:] = np.rint(old + (gray - old) * cov).astype(canvas.dtype)
 
 
 def _is_axis_rect(sp) -> bool:
-    if len(sp) != 4:
+    """True iff the subpath's points are exactly the 4 distinct corners
+    of an axis-aligned rectangle (a trailing close-point duplicate is
+    tolerated; a closed triangle with a repeated corner is NOT — it has
+    2 distinct x and y values but only 3 distinct corners)."""
+    pts = [(round(p[0], 6), round(p[1], 6)) for p in sp]
+    if len(pts) == 5 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) != 4:
         return False
-    xs = {round(p[0], 6) for p in sp}
-    ys = {round(p[1], 6) for p in sp}
-    return len(xs) == 2 and len(ys) == 2
+    xs = {p[0] for p in pts}
+    ys = {p[1] for p in pts}
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    x0, x1 = sorted(xs)
+    y0, y1 = sorted(ys)
+    return set(pts) == {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
 
 
 def _luminance(comps) -> int:
@@ -268,8 +457,19 @@ def _blit_image(canvas: np.ndarray, img, ctm, clip) -> None:
     c1, r1 = min(w, c1), min(h, r1)
     if c1 <= c0 or r1 <= r0:
         return
+    clip_gate = None  # non-rect clip: hard >= .5 gate over the region
+    if clip is not None and len(clip) == 5:
+        clip_gate = np.stack([_clip_mask_row(clip, r, c0, c1) >= 0.5
+                              for r in range(r0, r1)])
+        if not clip_gate.any():
+            return
     if img is None:
-        canvas[r0:r1, c0:c1] = np.minimum(canvas[r0:r1, c0:c1], 200)
+        region = canvas[r0:r1, c0:c1]
+        dim = np.minimum(region, 200)
+        if clip_gate is not None:
+            region[clip_gate] = dim[clip_gate]
+        else:
+            region[:] = dim
         return
     a, b, c, d, e, f = ctm
     det = a * d - b * c
@@ -286,6 +486,8 @@ def _blit_image(canvas: np.ndarray, img, ctm, clip) -> None:
     u = cols[None, :] * np.float32(ia) + rows[:, None] * np.float32(ic)
     v = cols[None, :] * np.float32(ib) + rows[:, None] * np.float32(id_)
     inside = (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    if clip_gate is not None:
+        inside &= clip_gate
     ih, iw = img.shape
     px = np.clip((u * iw).astype(np.int32), 0, iw - 1)
     # unit-square v=1 is the image's TOP row (PDF image space)
@@ -408,9 +610,19 @@ class _Raster:
         def finish_paint():
             nonlocal path, cur, clip, pend_clip, start_pt, pt
             if pend_clip is not None:
+                end_subpath()
                 bb = path_bbox()
                 if bb is not None:
-                    clip = _clip_intersect(clip, bb)
+                    if all(_is_axis_rect(sp) for sp in path):
+                        clip = _clip_intersect(clip, bb)
+                    else:
+                        # non-rect clip: antialiased coverage mask
+                        covm = _render_coverage(path, pend_clip == "W*",
+                                                self.width, self.height)
+                        if covm is None:
+                            clip = _clip_intersect(clip, bb)
+                        else:
+                            clip = _clip_intersect(clip, bb + (covm,))
                 pend_clip = None
             path = []
             cur = []
@@ -717,7 +929,7 @@ class _Raster:
             return None
         tmp = np.full((h, w), 255, np.uint8)
         shifted = [[(x - x0, y - y0) for x, y in sp] for sp in subpaths]
-        _fill_subpaths(tmp, shifted, 0, False, None)
+        _fill_subpaths(tmp, shifted, 0, False, None, aa=1)
         entry = (tmp < 128, x0, y0)
         if len(self._glyph_cache) < 4096:
             self._glyph_cache[key] = entry
@@ -801,7 +1013,7 @@ class _Raster:
         gw, gh = gx1 - gx0, gy1 - gy0
         if gw < 4.0 or gh < 4.0:
             # too small for stroke topology: solid mark
-            _fill_rect(self.canvas, gx0, gy0, gx1, gy1, 0, None)
+            _fill_rect(self.canvas, gx0, gy0, gx1, gy1, 0, None, aa=False)
             return
         # glyph-like "H" topology: two vertical strokes + a crossbar.
         # A SOLID box reads as a round dot to remove_dots
@@ -809,14 +1021,14 @@ class _Raster:
         # and whole text lines vanish from the metrics; strokes with a
         # counter (inner gap) survive like real glyph ink does.
         bar = max(1.2, gw * 0.22)
-        _fill_rect(self.canvas, gx0, gy0, gx0 + bar, gy1, 0, None)
-        _fill_rect(self.canvas, gx1 - bar, gy0, gx1, gy1, 0, None)
+        _fill_rect(self.canvas, gx0, gy0, gx0 + bar, gy1, 0, None, aa=False)
+        _fill_rect(self.canvas, gx1 - bar, gy0, gx1, gy1, 0, None, aa=False)
         cb = {  # crossbar position varies per class, like real glyphs
             "asc": (0.25, 0.45), "x": (0.40, 0.62), "desc": (0.55, 0.78),
         }["desc" if value[0] in self._DESCENDERS
           else ("x" if value[0] in self._XHEIGHT else "asc")]
         _fill_rect(self.canvas, gx0, gy0 + cb[0] * gh, gx1,
-                   gy0 + cb[1] * gh, 0, None)
+                   gy0 + cb[1] * gh, 0, None, aa=False)
 
 
 def render_pdf(data: bytes, pages: list[int] | None = None,
