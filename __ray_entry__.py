@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_words": extraction_queries.pdf_words,
         "image_features": multimodal.image_features,
         "image_thumbnails": multimodal.image_thumbnails,
+        "audio_features": multimodal.audio_features,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

@@ -3,12 +3,13 @@ as opaque ``binary`` columns with typed metadata; decode / feature-extract
 / resize run as actor-pool ``map_batches`` stages.
 
 Image stages (features + resize/thumbnail) are REAL — the pure-numpy
-codecs decode PNG/BMP/JPEG (baseline and progressive).  Audio/video
-decoding has no library in this container, so those stages are
-clearly-marked STUBS: the actor signature, batch schema and output layout
-are real and tested; ``decode`` raises ``NotImplementedError`` unless the
-deterministic-fake mode is enabled (hash-derived features, useful for
-exercising the plumbing end-to-end).
+codecs decode PNG/BMP/JPEG (baseline and progressive).  Audio is REAL
+for uncompressed RIFF/WAVE (PCM int 8/16/24/32 + IEEE float, no codec
+needed); compressed audio and all video decoding have no library in this
+container, so those paths are clearly-marked STUBS: the actor signature,
+batch schema and output layout are real and tested; ``decode`` raises
+``NotImplementedError`` unless the deterministic-fake mode is enabled
+(hash-derived features, useful for exercising the plumbing end-to-end).
 """
 
 from __future__ import annotations
@@ -68,24 +69,90 @@ class ImageFeatureStage:
 
 
 class AudioFeatureStage:
-    """STUB actor-pool stage for audio binary columns.
+    """Actor-pool stage for audio binary columns.
 
-    Real contract: ``__init__`` loads the codec/model once per actor;
-    ``__call__`` decodes each ``binary`` payload and emits
-    (duration_s, sample_rate, rms) per row.  No audio library ships in this
-    container, so decode raises ``NotImplementedError`` unless
-    ``deterministic_fake=True`` (features derived from md5 of the payload —
-    stable across runs, exercises schema/batching/actor plumbing)."""
+    REAL decode for uncompressed RIFF/WAVE payloads (PCM 8/16/24/32-bit
+    int and 32/64-bit IEEE float, incl. WAVE_FORMAT_EXTENSIBLE) — no
+    codec library needed; emits (duration_s, sample_rate, rms) per row.
+    Compressed formats (MP3/AAC/Opus — genuinely codec-requiring, none
+    ships in this container) raise ``NotImplementedError`` unless
+    ``deterministic_fake=True`` (md5-derived features — stable across
+    runs, exercises schema/batching/actor plumbing)."""
 
     def __init__(self, deterministic_fake: bool = False) -> None:
         self._fake = deterministic_fake
 
+    @staticmethod
+    def _decode_wav(data: bytes) -> tuple[float, int, float]:
+        if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        fmt = raw = None
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            n = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + n]
+            if tag == b"fmt ":
+                fmt = body
+            elif tag == b"data":
+                raw = body
+            pos += 8 + n + (n & 1)
+        if fmt is None or raw is None or len(fmt) < 16:
+            raise ValueError("missing fmt/data chunk")
+        code = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if code == 0xFFFE and len(fmt) >= 26:  # extensible: real code in GUID
+            code = int.from_bytes(fmt[24:26], "little")
+        if channels < 1 or rate < 1:
+            raise ValueError("bad fmt chunk")
+        if code == 1:  # integer PCM
+            if bits == 8:  # unsigned
+                x = np.frombuffer(raw, np.uint8).astype(np.float64)
+                x = (x - 128.0) / 128.0
+            elif bits == 16:
+                x = np.frombuffer(raw[: len(raw) & ~1], "<i2").astype(
+                    np.float64) / 32768.0
+            elif bits == 24:
+                b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8)
+                b = b.reshape(-1, 3).astype(np.int64)
+                v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            elif bits == 32:
+                x = np.frombuffer(raw[: len(raw) & ~3], "<i4").astype(
+                    np.float64) / float(1 << 31)
+            else:
+                raise ValueError(f"unsupported PCM width {bits}")
+        elif code == 3:  # IEEE float
+            if bits == 32:
+                x = np.frombuffer(raw[: len(raw) & ~3], "<f4").astype(
+                    np.float64)
+            elif bits == 64:
+                x = np.frombuffer(raw[: len(raw) & ~7], "<f8").astype(
+                    np.float64)
+            else:
+                raise ValueError(f"unsupported float width {bits}")
+        else:
+            raise NotImplementedError(
+                f"compressed WAVE format 0x{code:04x}: no codec in this "
+                "environment")
+        frames = len(x) // channels
+        if frames == 0:
+            return 0.0, rate, 0.0
+        x = x[: frames * channels]
+        rms = float(np.sqrt(np.mean(x * x)))
+        return frames / rate, rate, rms
+
     def _decode(self, data: bytes) -> tuple[float, int, float]:
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return self._decode_wav(data)
         if not self._fake:
             raise NotImplementedError(
-                "no audio codec in this environment; construct the stage "
-                "with deterministic_fake=True or install a decoder on workers"
-            )
+                "compressed audio needs a codec (none in this environment); "
+                "WAV/PCM decodes for real, or construct the stage with "
+                "deterministic_fake=True")
         h = hashlib.md5(data).digest()
         duration = round(1 + h[0] / 16, 3)
         sample_rate = 8000 * (1 + h[1] % 5)
@@ -107,6 +174,11 @@ class AudioFeatureStage:
                 srs.append(None)
                 rmss.append(None)
                 status.append("unsupported")
+            except Exception:  # corrupt payload -> error row, never a fail
+                durs.append(None)
+                srs.append(None)
+                rmss.append(None)
+                status.append("error")
             urls.append(url)
         return pa.table({
             "url": pa.array(urls, pa.string()),
@@ -241,6 +313,41 @@ class VideoFrameSampleStage:
             "frame_lumas": pa.array(lumas, pa.list_(pa.float64())),
             "status": pa.array(status, pa.string()),
         })
+
+
+def synth_wav(seed: int) -> bytes:
+    """Deterministic small RIFF/WAVE PCM16 clip (sine + seeded noise)."""
+    rng = np.random.RandomState(seed)
+    rate = int(8000 * (1 + seed % 3))
+    n = rate // 4 + (seed % 7) * 100  # ~0.25-0.35 s
+    t = np.arange(n) / rate
+    x = (0.5 * np.sin(2 * np.pi * (220 + 20 * (seed % 9)) * t)
+         + 0.05 * rng.randn(n))
+    pcm = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2").tobytes()
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def audio_features(sf_dir: str) -> ray.data.Dataset:
+    """WAV/PCM feature extraction (REAL decode) over a deterministic
+    synthetic audio table sized by the sf directory (the driver testdata
+    carries no audio binaries); rows-only driver check.  The stage is
+    the documented actor-pool shape for opaque binary columns."""
+    from img2table_ray.pipelines.corpus import DEFAULT_ROWS, SF_ROWS
+
+    n = SF_ROWS.get(__import__("os").path.basename(
+        __import__("os").path.normpath(sf_dir)), DEFAULT_ROWS) // 2
+    rows = [{"url": f"https://audio.example/{i:06d}.wav",
+             "audio": synth_wav(i)} for i in range(n)]
+    ds = ray.data.from_items(rows)
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+        concurrency=actor_concurrency(), num_cpus=1,
+    )
 
 
 def image_features(sf_dir: str) -> ray.data.Dataset:

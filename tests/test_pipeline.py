@@ -218,6 +218,68 @@ def test_shared_cache_opt_in_matches_default(ray_session, corpus, monkeypatch):
     pd.testing.assert_frame_equal(a[cols], b[cols])
 
 
+def test_audio_wav_decode_real():
+    """AudioFeatureStage really decodes RIFF/WAVE: exact duration and
+    sample rate, analytic RMS for a pure sine, every PCM width plus
+    IEEE float, corrupt input -> ValueError (error row upstream)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from img2table_ray.pipelines.multimodal import AudioFeatureStage
+
+    def wav(payload, code=1, channels=1, rate=8000, bits=16):
+        fmt = struct.pack("<HHIIHH", code, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    t = np.arange(8000) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t)
+    pcm16 = (x * 32767).round().astype("<i2")
+    d, sr, rms = AudioFeatureStage._decode_wav(wav(pcm16.tobytes()))
+    assert (d, sr) == (1.0, 8000)
+    assert abs(rms - 1 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+
+    # float32, 24-bit and 8-bit paths agree on duration/rate and RMS
+    f32 = x.astype("<f4").tobytes()
+    d2, sr2, rms2 = AudioFeatureStage._decode_wav(wav(f32, code=3, bits=32))
+    assert (d2, sr2) == (1.0, 8000) and abs(rms2 - rms) < 1e-3
+    v24 = (x * ((1 << 23) - 1)).round().astype(np.int64)
+    b24 = np.zeros((len(v24), 3), np.uint8)
+    u = np.where(v24 < 0, v24 + (1 << 24), v24)
+    b24[:, 0] = u & 0xFF
+    b24[:, 1] = (u >> 8) & 0xFF
+    b24[:, 2] = (u >> 16) & 0xFF
+    d3, _, rms3 = AudioFeatureStage._decode_wav(wav(b24.tobytes(), bits=24))
+    assert d3 == 1.0 and abs(rms3 - rms) < 2e-3
+    u8 = ((x * 127) + 128).round().astype(np.uint8)
+    d4, _, rms4 = AudioFeatureStage._decode_wav(wav(u8.tobytes(), bits=8))
+    assert d4 == 1.0 and abs(rms4 - rms) < 1e-2  # 8-bit quantization
+
+    # stereo halves the frame count
+    st = np.repeat(pcm16, 2)
+    d5, _, _ = AudioFeatureStage._decode_wav(wav(st.tobytes(), channels=2))
+    assert d5 == 1.0
+
+    with pytest.raises(ValueError):
+        AudioFeatureStage._decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(NotImplementedError):  # MP3-in-WAVE (code 0x55)
+        AudioFeatureStage._decode_wav(wav(b"\x00" * 64, code=0x55))
+
+
+def test_audio_features_query(ray_session):
+    from img2table_ray.pipelines.multimodal import audio_features
+
+    df = audio_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 32 and (df["status"] == "ok").all()
+    assert (df["duration_s"] > 0.2).all() and df["sample_rate"].isin(
+        [8000, 16000, 24000]).all()
+
+
 def test_multimodal_stages(ray_session, corpus):
     """Image feature stage is real (decode + stats); audio stage is a
     clearly-marked stub whose plumbing (schema, batching, actor signature)
