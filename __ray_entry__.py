@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": multimodal.image_features,
         "image_thumbnails": multimodal.image_thumbnails,
         "audio_features": multimodal.audio_features,
+        "video_frames": multimodal.video_frames,
         # --- text analysis over documents ---
         "token_count": docops.token_count,
         "text_quality": docops.text_quality,

@@ -280,6 +280,69 @@ def test_audio_features_query(ray_session):
         [8000, 16000, 24000]).all()
 
 
+def test_video_avi_decode_real():
+    """VideoFrameSampleStage really demuxes RIFF/AVI and decodes frames:
+    analytic luma for a solid-color DIB clip, MJPEG agrees with DIB on
+    identical content (JPEG tolerance), exact fps/frame-count/duration,
+    corrupt -> ValueError, inter-frame codec -> NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from img2table_ray.pipelines.multimodal import (
+        VideoFrameSampleStage, synth_avi)
+
+    st = VideoFrameSampleStage(n_samples=3)
+
+    # hand-built 2-frame solid-red bottom-up DIB AVI: luma = 0.299 exactly
+    w, h = 8, 4
+    stride = (w * 3 + 3) & ~3
+    frame = np.zeros((h, stride), np.uint8)
+    frame[:, 2 : w * 3 : 3] = 255  # BGR: red in byte 2
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    comp = b"\x00\x00\x00\x00"
+    avih = struct.pack("<14I", 10**6 // 5, 0, 0, 0, 2, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + comp
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 5, 0, 2, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, comp, 0, 0, 0, 0, 0)
+    movi = lst(b"movi", chunk(b"00db", frame.tobytes()) * 2)
+    avi = chunk(b"RIFF", b"AVI " + lst(
+        b"hdrl", chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))) + movi)
+    d, fps, nf, lumas = st._decode(avi)
+    assert (d, fps, nf) == (0.4, 5.0, 2)
+    assert all(abs(l - 0.299) < 1e-6 for l in lumas)
+
+    # synth clips: MJPEG and DIB carry identical content per seed
+    dm = st._decode(synth_avi(7, "MJPG"))
+    dd = st._decode(synth_avi(7, "DIB"))
+    assert dm[:3] == dd[:3]  # duration, fps, n_frames exact
+    assert all(abs(a - b) < 0.02 for a, b in zip(dm[3], dd[3]))
+
+    with pytest.raises(ValueError):
+        st._decode(b"RIFF\x00\x00\x00\x00AVI junk")
+    with pytest.raises(NotImplementedError):
+        st._decode(synth_avi(1, "MJPG").replace(b"MJPG", b"H264"))
+
+
+def test_video_frames_query(ray_session):
+    from img2table_ray.pipelines.multimodal import video_frames
+
+    df = video_frames("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 32 and (df["status"] == "ok").all()
+    assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
+    assert df["frame_lumas"].map(len).ge(1).all()
+
+
 def test_multimodal_stages(ray_session, corpus):
     """Image feature stage is real (decode + stats); audio stage is a
     clearly-marked stub whose plumbing (schema, batching, actor signature)
