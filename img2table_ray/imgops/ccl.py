@@ -45,12 +45,6 @@ def connected_components_with_stats(binary: np.ndarray):
     # resulting pair list is a Python loop (~one iteration per contact).
     parent = np.arange(n_runs, dtype=np.int64)
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
     W2 = w + 2
     prev_key_x2 = (run_row + 1) * W2 + run_x2  # prev-row runs shifted down
     prev_key_x1 = (run_row + 1) * W2 + run_x1
@@ -63,12 +57,27 @@ def connected_components_with_stats(binary: np.ndarray):
         cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
         b_idx = (np.arange(total_pairs, dtype=np.int64)
                  - np.repeat(cum, counts) + np.repeat(lo, counts))
-        for ai, bj in zip(a_idx.tolist(), b_idx.tolist()):
-            ra, rb = find(ai), find(bj)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        # Vectorized min-label union (Shiloach–Vishkin shape): hook each
+        # edge's larger current label onto the smaller, then pointer-jump
+        # to compress; O(E) numpy work per round, rounds ~ O(log n).
+        # Which run ends up the root does not matter — final labels are
+        # renumbered by raster order of each component's first run below.
+        while True:
+            pa = parent[a_idx]
+            pb = parent[b_idx]
+            lo_lab = np.minimum(pa, pb)
+            hi_lab = np.maximum(pa, pb)
+            before = parent.copy()
+            np.minimum.at(parent, hi_lab, lo_lab)
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent, before):
+                break
 
-    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+    roots = parent
 
     # --- renumber components in raster order of first run ---
     # first occurrence order of roots in run order (runs already raster-sorted)

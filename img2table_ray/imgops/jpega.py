@@ -304,39 +304,154 @@ def _decode_dc(dec, st, dc_ctx, ci, L, U):
 def _decode_ac_block(dec, st, fixed, kx, lo, hi, emit):
     """AC coefficients k in [lo, hi] (T.81 Figure F.20); calls
     ``emit(k, v)`` per nonzero coefficient.  ``fixed`` is the shared
-    non-adaptive sign bin."""
+    non-adaptive sign bin.
+
+    The QM decision (``_ArithDecoder.decode``) is INLINED over local
+    register ints: AC decisions are ~90% of all arithmetic decisions in
+    a sequential scan and the per-call method/attribute overhead
+    dominated decode time.  The state machine is identical; registers
+    are written back to ``dec`` on every exit path."""
+    # inlined _ArithDecoder registers
+    a = dec.a
+    c = dec.c
+    ct = dec.ct
+    pos = dec.pos
+    data = dec.data
+    n = dec.n
+    qe_tab = _QE_TAB
+
     k = lo
-    while k <= hi:
-        base = 3 * (k - 1)
-        if dec.decode(st, base):
-            return  # EOB
-        while dec.decode(st, base + 1) == 0:
-            base += 3
-            k += 1
-            if k > hi:
-                raise JpegError("arith AC index overflow")
-        sign = dec.decode(fixed, 0)
-        ptr = base + 2
-        m = dec.decode(st, ptr)
-        if m:
-            if dec.decode(st, ptr):  # SP doubles as X1 (Table F.5)
-                m = 2
-                ptr = 189 if k <= kx else 217
-                while dec.decode(st, ptr):
-                    m <<= 1
-                    if m == 0x8000:
-                        raise JpegError("arith AC magnitude overflow")
-                    ptr += 1
-        v = m
-        ptr += 14
-        m >>= 1
-        while m:
-            if dec.decode(st, ptr):
-                v |= m
-            m >>= 1
-        v += 1
-        emit(k, -v if sign else v)
-        k += 1
+    try:
+        while k <= hi:
+            base = 3 * (k - 1)
+            # --- decision template (see _ArithDecoder.decode) ---------
+            sarr = st
+            i = base
+            while True:  # one iteration per decision, jumped via `goto`-ish flow
+                while a < 0x8000:
+                    ct -= 1
+                    if ct < 0:
+                        c = (c << 8) | (data[pos] if pos < n else 0)
+                        pos += 1
+                        ct += 8
+                        if ct < 0:
+                            ct += 1
+                            if ct == 0:
+                                a = 0x10000
+                                break
+                    a <<= 1
+                sv = sarr[i]
+                v = qe_tab[sv & 0x7F]
+                qe = v >> 16
+                a -= qe
+                if c < (a << ct):
+                    if a < 0x8000:
+                        if a < qe:
+                            sarr[i] = (sv & 0x80) ^ (v & 0xFF)
+                            sv ^= 0x80
+                        else:
+                            sarr[i] = (sv & 0x80) ^ ((v >> 8) & 0xFF)
+                else:
+                    c -= a << ct
+                    if a < qe:
+                        sarr[i] = (sv & 0x80) ^ ((v >> 8) & 0xFF)
+                    else:
+                        sarr[i] = (sv & 0x80) ^ (v & 0xFF)
+                        sv ^= 0x80
+                    a = qe
+                bit = sv >> 7
+                # --- dispatch on which decision we just made ----------
+                if i == base and sarr is st:
+                    if bit:
+                        return  # EOB
+                    i = base + 1  # run-length decision next
+                    continue
+                if i == base + 1:
+                    if bit == 0:
+                        # zero run continues: next decision is the run
+                        # bin of the NEXT k (no EOB re-check mid-run)
+                        base += 3
+                        k += 1
+                        if k > hi:
+                            raise JpegError("arith AC index overflow")
+                        i = base + 1
+                        continue
+                    sarr = fixed
+                    i = 0
+                    continue
+                if sarr is fixed:
+                    sign = bit
+                    sarr = st
+                    i = base + 2
+                    phase = 0  # first magnitude decision
+                    continue
+                if phase == 0:
+                    m = bit
+                    if m:
+                        phase = 1  # SP/X1 decision at the same bin
+                        continue
+                    ptr = i
+                    phase = 3
+                    v_out = m
+                    ptr += 14
+                    mant = m >> 1
+                    # no mantissa bits when m == 0
+                    v_out += 1
+                    emit(k, -v_out if sign else v_out)
+                    k += 1
+                    break
+                if phase == 1:
+                    if bit:  # SP doubles as X1 (Table F.5)
+                        m = 2
+                        i = 189 if k <= kx else 217
+                        phase = 2
+                        continue
+                    ptr = i
+                    v_out = m
+                    ptr += 14
+                    mant = m >> 1
+                    if mant:
+                        i = ptr
+                        phase = 3
+                        continue
+                    v_out += 1
+                    emit(k, -v_out if sign else v_out)
+                    k += 1
+                    break
+                if phase == 2:  # magnitude exponent loop
+                    if bit:
+                        m <<= 1
+                        if m == 0x8000:
+                            raise JpegError("arith AC magnitude overflow")
+                        i += 1
+                        continue
+                    ptr = i
+                    v_out = m
+                    ptr += 14
+                    mant = m >> 1
+                    if mant:
+                        i = ptr
+                        phase = 3
+                        continue
+                    v_out += 1
+                    emit(k, -v_out if sign else v_out)
+                    k += 1
+                    break
+                # phase == 3: mantissa bits
+                if bit:
+                    v_out |= mant
+                mant >>= 1
+                if mant:
+                    continue
+                v_out += 1
+                emit(k, -v_out if sign else v_out)
+                k += 1
+                break
+    finally:
+        dec.a = a
+        dec.c = c
+        dec.ct = ct
+        dec.pos = pos
 
 
 def _encode_dc(enc, st, dc_ctx, ci, L, U, diff):

@@ -598,21 +598,52 @@ def predict_b(mode: int, above8: np.ndarray, left: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _decode_coeffs(bd: BoolDecoder, probs: np.ndarray, btype: int,
+def _decode_coeffs(bd: BoolDecoder, probs: list, btype: int,
                    first: int, ctx: int):
     """Decode one 4x4 block's quantized levels (zigzag order undone).
     Returns (levels[16] int32 raster order or None when all-zero,
     had_nonzero) — the all-zero fast path (immediate EOB, the common
-    case in smooth regions) allocates nothing."""
+    case in smooth regions) allocates nothing.
+
+    ``probs`` is the frame's coeff-prob table as NESTED PYTHON LISTS
+    (``hdr.coeff_probs.tolist()``): per-element numpy indexing plus the
+    BoolDecoder method call dominated token decode (~35% of frame
+    decode), so the §7 boolean decoder is inlined here over local ints
+    and written back to ``bd`` on exit — identical state machine."""
     levels = None
     tprobs = probs[btype]
     c = first
     skip_eob = False
+    # inlined BoolDecoder state (see BoolDecoder.bool)
+    data = bd.d
+    dlen = len(data)
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    pos = bd.pos
     while c < 16:
         p = tprobs[COEFF_BANDS[c]][ctx]
         i = 2 if skip_eob else 0
         while True:
-            i = TOKEN_TREE[i + bd.bool(p[i >> 1])]
+            prob = p[i >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    value |= data[pos] if pos < dlen else 0
+                    pos += 1
+            i = TOKEN_TREE[i + bit]
             if i <= 0:
                 break
         token = -i
@@ -628,17 +659,52 @@ def _decode_coeffs(bd: BoolDecoder, probs: np.ndarray, btype: int,
         else:
             cat = token - CAT1
             extra = 0
-            for pr in CAT_PROBS[cat]:
-                extra = (extra << 1) | bd.bool(pr)
+            for prob in CAT_PROBS[cat]:
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    extra = (extra << 1) | 1
+                    rng -= split
+                    value -= big
+                else:
+                    extra <<= 1
+                    rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    bit_count += 1
+                    if bit_count == 8:
+                        bit_count = 0
+                        value |= data[pos] if pos < dlen else 0
+                        pos += 1
             val = CAT_BASE[cat] + extra
-        if bd.bool(128):
+        # sign bit, prob 128
+        split = 1 + (((rng - 1) << 7) >> 8)
+        big = split << 8
+        if value >= big:
             val = -val
+            rng -= split
+            value -= big
+        else:
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                value |= data[pos] if pos < dlen else 0
+                pos += 1
         if levels is None:
             levels = np.zeros(16, np.int32)
         levels[ZIGZAG[c]] = val
         ctx = 1 if token == DCT_1 else 2
         skip_eob = False
         c += 1
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
+    bd.pos = pos
     return levels, levels is not None
 
 
@@ -740,7 +806,8 @@ def _tree_path_from(tree: tuple, value: int, start: int) -> list[int]:
 
 
 def _s8(x: np.ndarray) -> np.ndarray:
-    return np.clip(x, -128, 127)
+    # direct ufuncs (np.clip's wrapper dominates at filter-edge sizes)
+    return np.maximum(np.minimum(x, 127), -128)
 
 
 def _filter_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
@@ -753,6 +820,14 @@ def _filter_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
     mb_edge = (level + 2) * 2 + interior
     sub_edge = level * 2 + interior
     return interior, hev, mb_edge, sub_edge
+
+
+def _clip_u8(x: np.ndarray) -> np.ndarray:
+    """In-place clip of an owned temp to [0, 255] via direct ufuncs
+    (np.clip's fromnumeric wrapper costs ~4x per call at 16-elem sizes)."""
+    np.maximum(x, 0, out=x)
+    np.minimum(x, 255, out=x)
+    return x
 
 
 def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
@@ -771,52 +846,76 @@ def _normal_filter_edge(px: list[np.ndarray], interior: int, hev_t: int,
     # outer threshold fails everywhere never writes
     if not d0.any() and not d1.any():
         return
-    thresh = np.abs(d0) * 2 + (np.abs(d1) >> 1) <= edge_limit
+    np.abs(d0, out=d0)
+    np.abs(d1, out=d1)
+    d1 >>= 1
+    d0 *= 2
+    d0 += d1
+    thresh = d0 <= edge_limit
     if ext_mask is not None:
         thresh &= ext_mask
     if not thresh.any():
         return
-    mask = (
-        thresh
-        & (np.abs(p3 - p2) <= interior)
-        & (np.abs(p2 - p1) <= interior)
-        & (np.abs(p1 - p0) <= interior)
-        & (np.abs(q1 - q0) <= interior)
-        & (np.abs(q2 - q1) <= interior)
-        & (np.abs(q3 - q2) <= interior)
-    )
-    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    ap1p0 = np.abs(p1 - p0)
+    aq1q0 = np.abs(q1 - q0)
+    mask = thresh
+    mask &= np.abs(p3 - p2) <= interior
+    mask &= np.abs(p2 - p1) <= interior
+    mask &= ap1p0 <= interior
+    mask &= aq1q0 <= interior
+    mask &= np.abs(q2 - q1) <= interior
+    mask &= np.abs(q3 - q2) <= interior
+    hev = ap1p0 > hev_t
+    hev |= aq1q0 > hev_t
     # signed-8-bit domain
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
-    w_hev = _s8(_s8(P1 - Q1) + 3 * (Q0 - P0))
-    f1 = _s8(w_hev + 4) >> 3
-    f2 = _s8(w_hev + 3) >> 3
+    qp = Q0 - P0
+    qp *= 3
+    w = _s8(P1 - Q1)
+    w += qp
+    w = _s8(w)  # == both branches' w (identical expression, RFC §15.3)
+    f1 = _s8(w + 4)
+    f1 >>= 3
+    f2 = _s8(w + 3)
+    f2 >>= 3
+    # the signed-domain round trip cancels exactly in the updates:
+    # clip(Q0 - f + 128) == clip(q0 - f) etc. in int32 arithmetic
     use = mask & hev
-    q0[use] = np.clip(Q0[use] - f1[use] + 128, 0, 255)
-    p0[use] = np.clip(P0[use] + f2[use] + 128, 0, 255)
+    if use.any():
+        q0[use] = _clip_u8(q0[use] - f1[use])
+        p0[use] = _clip_u8(p0[use] + f2[use])
+    use2 = mask
+    use2 &= ~hev
+    if not use2.any():
+        return
     if mb_edge:
-        P2, Q2 = p2 - 128, q2 - 128
-        w = _s8(_s8(P1 - Q1) + 3 * (Q0 - P0))
-        a1 = (27 * w + 63) >> 7
-        a2 = (18 * w + 63) >> 7
-        a3 = (9 * w + 63) >> 7
-        use2 = mask & ~hev
-        q0[use2] = np.clip(Q0[use2] - a1[use2] + 128, 0, 255)
-        p0[use2] = np.clip(P0[use2] + a1[use2] + 128, 0, 255)
-        q1[use2] = np.clip(Q1[use2] - a2[use2] + 128, 0, 255)
-        p1[use2] = np.clip(P1[use2] + a2[use2] + 128, 0, 255)
-        q2[use2] = np.clip(Q2[use2] - a3[use2] + 128, 0, 255)
-        p2[use2] = np.clip(P2[use2] + a3[use2] + 128, 0, 255)
+        a1 = 27 * w
+        a1 += 63
+        a1 >>= 7
+        a2 = 18 * w
+        a2 += 63
+        a2 >>= 7
+        a3 = 9 * w
+        a3 += 63
+        a3 >>= 7
+        q0[use2] = _clip_u8(q0[use2] - a1[use2])
+        p0[use2] = _clip_u8(p0[use2] + a1[use2])
+        q1[use2] = _clip_u8(q1[use2] - a2[use2])
+        p1[use2] = _clip_u8(p1[use2] + a2[use2])
+        q2[use2] = _clip_u8(q2[use2] - a3[use2])
+        p2[use2] = _clip_u8(p2[use2] + a3[use2])
     else:
-        w = _s8(3 * (Q0 - P0))
-        f1s = _s8(w + 4) >> 3
-        f2s = _s8(w + 3) >> 3
-        use2 = mask & ~hev
-        q0[use2] = np.clip(Q0[use2] - f1s[use2] + 128, 0, 255)
-        p0[use2] = np.clip(P0[use2] + f2s[use2] + 128, 0, 255)
-        a = (f1s + 1) >> 1
-        q1[use2] = np.clip(Q1[use2] - a[use2] + 128, 0, 255)
-        p1[use2] = np.clip(P1[use2] + a[use2] + 128, 0, 255)
+        ws = _s8(qp)  # qp == 3*(Q0-P0), unshared since _s8 copies
+        f1s = _s8(ws + 4)
+        f1s >>= 3
+        f2s = _s8(ws + 3)
+        f2s >>= 3
+        q0[use2] = _clip_u8(q0[use2] - f1s[use2])
+        p0[use2] = _clip_u8(p0[use2] + f2s[use2])
+        f1s += 1
+        f1s >>= 1
+        q1[use2] = _clip_u8(q1[use2] - f1s[use2])
+        p1[use2] = _clip_u8(p1[use2] + f1s[use2])
 
 
 def _simple_filter_edge(px: list[np.ndarray], edge_limit: int,
@@ -827,17 +926,29 @@ def _simple_filter_edge(px: list[np.ndarray], edge_limit: int,
     d1 = p1 - q1
     if not d0.any() and not d1.any():  # uniform edge: w == 0, no-op
         return
-    mask = np.abs(d0) * 2 + (np.abs(d1) >> 1) <= edge_limit
+    np.abs(d0, out=d0)
+    np.abs(d1, out=d1)
+    d1 >>= 1
+    d0 *= 2
+    d0 += d1
+    mask = d0 <= edge_limit
     if ext_mask is not None:
-        mask = mask & ext_mask
+        mask &= ext_mask
     if not mask.any():
         return
     P1, P0, Q0, Q1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
-    w = _s8(_s8(P1 - Q1) + 3 * (Q0 - P0))
-    f1 = _s8(w + 4) >> 3
-    f2 = _s8(w + 3) >> 3
-    q0[mask] = np.clip(Q0[mask] - f1[mask] + 128, 0, 255)
-    p0[mask] = np.clip(P0[mask] + f2[mask] + 128, 0, 255)
+    qp = Q0 - P0
+    qp *= 3
+    w = _s8(P1 - Q1)
+    w += qp
+    w = _s8(w)
+    f1 = _s8(w + 4)
+    f1 >>= 3
+    f2 = _s8(w + 3)
+    f2 >>= 3
+    # ±128 signed-domain shift cancels exactly in int32 updates
+    q0[mask] = _clip_u8(q0[mask] - f1[mask])
+    p0[mask] = _clip_u8(p0[mask] + f2[mask])
 
 
 def _filter_mb_normal(p: np.ndarray, y0: int, x0: int, size: int,
@@ -1344,7 +1455,9 @@ def decode_vp8(data: bytes, yuv: bool = False) -> np.ndarray:
     mb_h = (height + 15) // 16
     n_mb = mb_w * mb_h
     rec = _Recon(mb_w, mb_h)
-    probs = hdr.coeff_probs
+    # nested Python lists: per-element indexing in the token hot loop is
+    # ~5x cheaper than numpy scalar indexing (see _decode_coeffs)
+    probs = hdr.coeff_probs.tolist()
     ctx = _NzCtx(mb_w)
     inner = np.zeros((mb_h, mb_w), bool)
     mb_levels = np.zeros((mb_h, mb_w), np.int32)
