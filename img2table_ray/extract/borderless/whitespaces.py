@@ -17,12 +17,11 @@ def compute_whitespaces(elements_array: np.ndarray, min_width: float, min_height
                         total_height: float, continuous: bool = True) -> list[list[list[int]]]:
     """(ref whitespaces.py:11-116) — x-interval sweep between sorted
     elements, emitting continuous or grouped whitespace rectangles."""
-    x_vals = set()
-    for idx in range(elements_array.shape[0]):
-        x1, y1, x2, y2, ym = elements_array[idx]
-        x_vals.add(x1)
-        x_vals.add(x2)
-    x_sorted = sorted(x_vals)
+    xs1 = elements_array[:, 0]
+    ys1 = elements_array[:, 1]
+    xs2 = elements_array[:, 2]
+    ys2 = elements_array[:, 3]
+    x_sorted = sorted(set(xs1.tolist()) | set(xs2.tolist()))
 
     final_whitespaces: list[list[list[int]]] = []
     for idx in range(len(x_sorted) - 1):
@@ -30,14 +29,19 @@ def compute_whitespaces(elements_array: np.ndarray, min_width: float, min_height
         if x_max - x_min < min_width:
             continue
 
-        list_ws, prev_y = [], 10 ** 6
-        for idx_el in range(elements_array.shape[0]):
-            x1, y1, x2, y2, ym = elements_array[idx_el]
-            overlap = min(x_max, x2) - max(x_min, x1)
-            if overlap > 0:
-                if y1 - prev_y >= min_height:
-                    list_ws.append([x_min, prev_y, x_max, y1])
-                prev_y = y2
+        # vectorized replacement for the reference's per-element scan:
+        # overlapping elements in ym-sorted order chain prev_y = y2 of
+        # the PREVIOUS overlapping element, so emitted gaps are exactly
+        # consecutive (y2[k], y1[k+1]) pairs with gap >= min_height.
+        # (The loop's first element can never emit: y1 - 10**6 < 0.)
+        m = (xs1 < x_max) & (xs2 > x_min)
+        ey1 = ys1[m]
+        ey2 = ys2[m]
+        if len(ey1) > 1:
+            gi = np.nonzero(ey1[1:] - ey2[:-1] >= min_height)[0]
+            list_ws = [[x_min, ey2[i], x_max, ey1[i + 1]] for i in gi]
+        else:
+            list_ws = []
 
         if continuous:
             y_min, y_max = -1000, -1000

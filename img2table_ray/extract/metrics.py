@@ -159,23 +159,50 @@ def create_character_thresh(thresh: np.ndarray, stats: np.ndarray,
     """Characters-only threshold image + adopted discarded CCs
     (ref metrics.py:205-248, quirks preserved)."""
     character_thresh = np.zeros_like(thresh)
-    chars = []
-    for idx in range(len(stats)):
-        x, y, w, h, area = (int(v) for v in stats[idx])
-        chars.append([x, y, w, h, area])
-        character_thresh[y : y + h, x : x + w] = thresh[y : y + h, x : x + w]
-        for jdx in range(1, len(discarded_stats)):
-            cx, cy, cw, ch, carea = (int(v) for v in discarded_stats[jdx])
-            y_overlap = min(cy + ch, y + h) - max(cy, y)
-            if y_overlap < 0.5 * min(ch, h):
-                continue
-            if max(ch, cw) > 3 * max(h, w):
-                continue
-            distance = min(abs(cx - x), abs(cx - x - w), abs(cx + cw - x), abs(cx + cw - x - w))
-            if y_overlap > 0 and distance <= char_length:
-                chars.append([cx, cy, cw, ch, carea])
-                character_thresh[cy : cy + ch, cx : cx + cw] = thresh[cy : cy + ch, cx : cx + cw]
-    chars_arr = np.array(chars, dtype=np.int32) if chars else np.empty((0, 5), dtype=np.int32)
+    n_keep = len(stats)
+    if n_keep == 0:
+        return character_thresh, np.empty((0, 5), dtype=np.int32)
+
+    # pairwise adoption test, vectorized over (kept x discarded[1:]) —
+    # the reference's nested loop (its jdx-from-1 quirk preserved) was
+    # O(K*D) Python; identical conditions broadcast below.  A discarded
+    # CC adopted by several kept chars is appended once PER adopter,
+    # exactly as the loop did.
+    ks = stats.astype(np.int64)
+    ds = discarded_stats[1:].astype(np.int64)
+    if len(ds):
+        x, y, w, h = (ks[:, None, k] for k in range(4))
+        cx, cy, cw, ch = (ds[None, :, k] for k in range(4))
+        y_overlap = np.minimum(cy + ch, y + h) - np.maximum(cy, y)
+        ok = y_overlap >= 0.5 * np.minimum(ch, h)
+        ok &= np.maximum(ch, cw) <= 3 * np.maximum(h, w)
+        ok &= y_overlap > 0
+        distance = np.minimum(
+            np.minimum(np.abs(cx - x), np.abs(cx - x - w)),
+            np.minimum(np.abs(cx + cw - x), np.abs(cx + cw - x - w)),
+        )
+        ok &= distance <= char_length
+        ki, dj = np.nonzero(ok)  # row-major: kept order, then discarded order
+    else:
+        ki = dj = np.empty(0, dtype=np.int64)
+
+    # interleave to the loop's append order: kept[i] first, then its
+    # adoptions — stable sort on (adopter index, kept-before-adopted)
+    rows = np.concatenate([stats.astype(np.int32),
+                           discarded_stats[1:][dj].astype(np.int32)])
+    key1 = np.concatenate([np.arange(n_keep), ki])
+    key2 = np.concatenate([np.full(n_keep, -1, dtype=np.int64), dj])
+    order = np.lexsort((key2, key1))
+    chars_arr = rows[order]
+
+    # region copies are idempotent (all from the same thresh): copy each
+    # adopted rect once, kept rects always
+    for xx, yy, ww, hh, _ in stats:
+        character_thresh[yy : yy + hh, xx : xx + ww] = thresh[yy : yy + hh, xx : xx + ww]
+    for j in np.unique(dj):
+        cx0, cy0, cw0, ch0, _ = (int(v) for v in discarded_stats[1 + j])
+        character_thresh[cy0 : cy0 + ch0, cx0 : cx0 + cw0] = \
+            thresh[cy0 : cy0 + ch0, cx0 : cx0 + cw0]
     return character_thresh, chars_arr
 
 
