@@ -287,11 +287,12 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         if synth:
             env["GRAFT_SYNTH_CORPUS"] = "1"
-        # repeats=2 + min: with _prewarm_workers the first timed run is
-        # already steady-state; the second absorbs residual neighbor noise
+        # repeats=3 + min: with _prewarm_workers the first timed run is
+        # already steady-state; the extra runs absorb residual neighbor
+        # noise (spikes shorter than a run no longer poison the level)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--repeats=2"],
+             "--repeats=3"],
             env=env,
             capture_output=True,
             text=True,
