@@ -188,9 +188,16 @@ def run_suite() -> dict:
     for name in names:
         if name in per_query:
             continue  # measured in the clean headline session above
-        t = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        per_query[name] = round(time.perf_counter() - t, 3)
+        # min of 2 timed runs per suite query (VERDICT r4 §next-2): one
+        # contended sample — e.g. r4's exact_dedup reading 6.57 s for a
+        # query the same code runs in <3 s in a quiet window — must not
+        # become the number of record on this ±40%-noise host.
+        runs = []
+        for _ in range(2):
+            t = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            runs.append(round(time.perf_counter() - t, 3))
+        per_query[name] = min(runs)
     headline = per_query.get("extract_tables", sum(per_query.values()))
     ray.shutdown()
     return {
@@ -260,6 +267,51 @@ def _contention_trace(seconds: float = 8.0) -> dict:
     return out
 
 
+LO_CPUS, HI_CPUS = 8, 32
+N_PAIRS = 3
+
+
+def _run_level(ncpu: int, synth: bool) -> dict:
+    """One fresh-process headline measurement at ``ncpu`` CPUs."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if synth:
+        env["GRAFT_SYNTH_CORPUS"] = "1"
+    # repeats=3 + min: with _prewarm_workers the first timed run is
+    # already steady-state; the extra runs absorb residual neighbor
+    # noise (spikes shorter than a run no longer poison the level)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only",
+         "--repeats=3"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def _level_pairs(synth: bool) -> dict:
+    """One SESSION: N_PAIRS interleaved (8, 32) fresh-process pairs;
+    efficiency per adjacent pair; session value = median of pairs."""
+    runs_lo, runs_hi, effs = [], [], []
+    for _ in range(N_PAIRS):
+        lo = _run_level(LO_CPUS, synth)["value"]
+        hi = _run_level(HI_CPUS, synth)["value"]
+        runs_lo.append(lo)
+        runs_hi.append(hi)
+        effs.append(round((lo / hi) / (HI_CPUS / LO_CPUS), 3))
+    effs_sorted = sorted(effs)
+    return {
+        "eff_pairs": effs,
+        "eff_median": effs_sorted[len(effs) // 2],
+        "eff_best": max(effs),
+        "sec_8": min(runs_lo),
+        "sec_32": min(runs_hi),
+        "runs_8": runs_lo,
+        "runs_32": runs_hi,
+    }
+
+
 def run_scaling() -> dict:
     """N -> 4N cluster-size proxy (BASELINE.md): the SAME job (headline
     extraction over the same corpus) in fresh processes with fresh
@@ -282,48 +334,8 @@ def run_scaling() -> dict:
       * a Ray-free contention trace (per-worker throughput at 6 vs 24
         co-located workers) evidencing that wall directly.
     """
-
-    def run(ncpu: int, synth: bool) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        if synth:
-            env["GRAFT_SYNTH_CORPUS"] = "1"
-        # repeats=3 + min: with _prewarm_workers the first timed run is
-        # already steady-state; the extra runs absorb residual neighbor
-        # noise (spikes shorter than a run no longer poison the level)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--repeats=3"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
-    lo_cpus, hi_cpus = 8, 32
-    n_pairs = 3
-
-    def level_pair(synth: bool) -> dict:
-        runs_lo, runs_hi, effs = [], [], []
-        for _ in range(n_pairs):
-            lo = run(lo_cpus, synth)["value"]
-            hi = run(hi_cpus, synth)["value"]
-            runs_lo.append(lo)
-            runs_hi.append(hi)
-            effs.append(round((lo / hi) / (hi_cpus / lo_cpus), 3))
-        effs_sorted = sorted(effs)
-        return {
-            "eff_pairs": effs,
-            "eff_median": effs_sorted[len(effs) // 2],
-            "eff_best": max(effs),
-            "sec_8": min(runs_lo),
-            "sec_32": min(runs_hi),
-            "runs_8": runs_lo,
-            "runs_32": runs_hi,
-        }
-
-    official = level_pair(synth=False)
-    synth = level_pair(synth=True)
+    official = _level_pairs(synth=False)
+    synth = _level_pairs(synth=True)
     contention = _contention_trace()
     return {
         "metric": "scaling_efficiency",
@@ -333,12 +345,55 @@ def run_scaling() -> dict:
         "synth_corpus": synth,
         "contention_trace": contention,
         "sf": SF_DIR,
-        "num_cpus": [lo_cpus, hi_cpus],
+        "num_cpus": [LO_CPUS, HI_CPUS],
+    }
+
+
+def run_scaling_protocol() -> dict:
+    """PRE-REGISTERED scaling measurement (VERDICT r4 §next-1).
+
+    Protocol, declared before any protocol run and not adjustable after:
+
+      1. THREE consecutive sessions on the official corpus, back-to-back
+         in one invocation with no pauses, each session = the standard
+         interleaved measurement (N_PAIRS adjacent 8/32 fresh-process
+         pairs, repeats=3 + min per level run, session value = median of
+         its pairwise efficiencies).
+      2. The OFFICIAL scaling number = the MEDIAN of the three session
+         medians.  Every session and every pair is reported; none may be
+         discarded or re-run.  There is NO post-hoc promotion: the number
+         printed by a protocol invocation is that invocation's final
+         result.
+      3. One synth-corpus session and one Ray-free contention trace are
+         recorded afterwards as context (hardware-ceiling attribution);
+         they do not enter the official number.
+      4. Which invocation is the round's record is declared BEFORE the
+         invocation runs (in BASELINE.md), never chosen afterwards from
+         among multiple runs of the same code.
+    """
+    sessions = [_level_pairs(synth=False) for _ in range(3)]
+    medians = sorted(s["eff_median"] for s in sessions)
+    synth = _level_pairs(synth=True)
+    contention = _contention_trace()
+    return {
+        "metric": "scaling_efficiency_preregistered",
+        "value": medians[1],
+        "unit": "ratio",
+        "session_medians": [s["eff_median"] for s in sessions],
+        "sessions": sessions,
+        "sec_8": min(s["sec_8"] for s in sessions),
+        "sec_32": min(s["sec_32"] for s in sessions),
+        "synth_corpus": synth,
+        "contention_trace": contention,
+        "sf": SF_DIR,
+        "num_cpus": [LO_CPUS, HI_CPUS],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-protocol" in sys.argv:
+        print(json.dumps(run_scaling_protocol()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--headline-only" in sys.argv:
         reps = 3
