@@ -34,7 +34,12 @@ def compute_whitespaces(elements_array: np.ndarray, min_width: float, min_height
         # the PREVIOUS overlapping element, so emitted gaps are exactly
         # consecutive (y2[k], y1[k+1]) pairs with gap >= min_height.
         # (The loop's first element can never emit: y1 - 10**6 < 0.)
-        m = (xs1 < x_max) & (xs2 > x_min)
+        # The reference's loop form tests min(x_max, x2) - max(x_min, x1)
+        # > 0, which this mask matches only for positive-width elements;
+        # fold that invariant in explicitly so a future element source
+        # with degenerate (zero-/negative-width) boxes cannot silently
+        # diverge from the loop form (ADVICE r4).
+        m = (xs1 < x_max) & (xs2 > x_min) & (xs2 > xs1)
         ey1 = ys1[m]
         ey2 = ys2[m]
         if len(ey1) > 1:

@@ -386,18 +386,14 @@ def _decode_ac_block(dec, st, fixed, kx, lo, hi, emit):
                     phase = 0  # first magnitude decision
                     continue
                 if phase == 0:
-                    m = bit
-                    if m:
+                    if bit:
+                        m = 1
                         phase = 1  # SP/X1 decision at the same bin
                         continue
-                    ptr = i
-                    phase = 3
-                    v_out = m
-                    ptr += 14
-                    mant = m >> 1
-                    # no mantissa bits when m == 0
-                    v_out += 1
-                    emit(k, -v_out if sign else v_out)
+                    # magnitude category 0: value is ±1, no mantissa bits
+                    # (minimal exit form — ADVICE r4: the stale ptr/phase/
+                    # mant assignments the other exits need are dead here)
+                    emit(k, -1 if sign else 1)
                     k += 1
                     break
                 if phase == 1:

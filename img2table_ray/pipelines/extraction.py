@@ -51,6 +51,41 @@ from img2table_ray.state import manifest as mf
 HEAVY_BYTES = 512 * 1024  # page rows above this are yielded as tiny sub-batches
 HEAVY_CHUNK = 2
 
+# Broadcast-vs-service cutover for the words sidecar (VERDICT r4 §next-6):
+# the broadcast path ray.puts one {(url, page): hocr} dict that every task
+# worker deserializes into its heap, so it is only safe while that dict
+# fits comfortably beside the extraction working set.  Parquet is ~2-4x
+# smaller than the in-heap dict (string object overhead), so 256 MB
+# on disk ~= 0.5-1 GB per worker heap — past that, route to the
+# partitioned words service, which shards the table over K lookup actors
+# and never materializes it in task workers.
+WORDS_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _words_dir_bytes(words_dir: str) -> int:
+    total = 0
+    for root, _, files in os.walk(words_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def resolve_words_mode(words_dir: str | None, join_words="auto"):
+    """Pick the words-attachment mode at PLAN time from the sidecar's
+    on-disk size; explicit ``join_words`` values override.  Returns one of
+    False (broadcast), ``"service"``/True (partitioned lookup service), or
+    ``"shuffle"`` (literal Dataset.join, kept for comparison)."""
+    if join_words != "auto":
+        return join_words
+    if words_dir is None or not os.path.isdir(words_dir):
+        return False
+    if _words_dir_bytes(words_dir) > WORDS_BROADCAST_MAX_BYTES:
+        return "service"
+    return False
+
 
 def input_shards(pages_dir: str) -> list[str]:
     """Sorted parquet shards of the pages table; index = partition id."""
@@ -109,12 +144,15 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
                   skip_parts: set[int] | None = None,
                   keep_parts: set[int] | None = None, implicit_rows: bool = True,
                   borderless: bool = False, lang_filter: str | None = None,
-                  join_words: bool = False, stats_handle=None) -> ray.data.Dataset:
+                  join_words="auto", stats_handle=None) -> ray.data.Dataset:
     """Build the lazy extraction Dataset (no sink).
 
     ``keep_parts`` / ``skip_parts`` select input shards at the READ — the
-    excluded shards are never opened.  Word-provider attachment has three
-    modes:
+    excluded shards are never opened.  Word-provider attachment defaults
+    to ``"auto"``: :func:`resolve_words_mode` picks broadcast vs the
+    partitioned service from the sidecar's on-disk size at plan time
+    (``WORDS_BROADCAST_MAX_BYTES``); passing an explicit mode overrides.
+    The three modes:
 
     * ``join_words=False`` — broadcast the sidecar via ``ray.put``
       (small-side fast path; fine while the words table fits one worker).
@@ -129,6 +167,7 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
       few-KB string (measured sf0.1 @32: the join alone costs ~34 s on
       inputs that take 2.7 s to produce; the service path removes that
       entirely)."""
+    join_words = resolve_words_mode(words_dir, join_words)
     shards = input_shards(pages_dir)
     parts = set(range(len(shards)))
     if skip_parts:
@@ -277,7 +316,11 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
         ds.write_parquet(ddir, partition_cols=["part"])
 
         # publish manifests for this wave (data is durable at this point);
-        # counts come from the distributed collectors, not an output re-read
+        # counts come from the distributed collectors, not an output re-read.
+        # flush() is the drain barrier for the workers' fire-and-forget
+        # stats sends (state/stats.py:add_rows) — after it, every add
+        # submitted by this wave's tasks has been processed.
+        stats_actor.flush()
         totals = stats_actor.totals()
         err_fmt = stats_actor.errors_by_format()
         for part in sorted(wave_parts):

