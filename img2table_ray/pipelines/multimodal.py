@@ -143,6 +143,11 @@ class AudioFeatureStage:
             block_align = int.from_bytes(fmt[12:14], "little")
             dec = ima_adpcm_decode if code == 0x11 else ms_adpcm_decode
             x = dec(raw, channels, block_align).astype(np.float64) / 32768.0
+        elif code in (0x06, 0x07):  # G.711 A-law / mu-law (round 5)
+            from img2table_ray.imgops.g711 import alaw_decode, ulaw_decode
+
+            dec = ulaw_decode if code == 0x07 else alaw_decode
+            x = dec(raw).astype(np.float64) / 32768.0
         else:
             raise NotImplementedError(
                 f"compressed WAVE format 0x{code:04x}: no codec in this "
@@ -487,9 +492,10 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
 
 def synth_wav(seed: int) -> bytes:
     """Deterministic small RIFF/WAVE clip (sine + seeded noise): PCM16
-    for most seeds, with every 8th row IMA ADPCM (seed%8==5) or MS ADPCM
-    (seed%8==7) so the query surface exercises the round-5 compressed
-    RIFF codecs (imgops/adpcm.py)."""
+    for even seeds, with codec rows interleaved so the query surface
+    exercises every round-5 compressed RIFF format: IMA ADPCM (seed%8==5),
+    MS ADPCM (seed%8==7) from imgops/adpcm.py, and G.711 mu-law
+    (seed%8==3) / A-law (seed%8==1) from imgops/g711.py."""
     rng = np.random.RandomState(seed)
     rate = int(8000 * (1 + seed % 3))
     n = rate // 4 + (seed % 7) * 100  # ~0.25-0.35 s
@@ -502,6 +508,11 @@ def synth_wav(seed: int) -> bytes:
 
         return encode_wav_adpcm(samples, rate,
                                 kind="ima" if seed % 8 == 5 else "ms")
+    if seed % 8 in (1, 3):
+        from img2table_ray.imgops.g711 import encode_wav_g711
+
+        return encode_wav_g711(samples, rate,
+                               kind="ulaw" if seed % 8 == 3 else "alaw")
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 

@@ -504,3 +504,53 @@ def test_audio_adpcm_decode_real():
         return np.array(out, np.int16)
 
     assert np.array_equal(got, scalar_ima(raw, 256))
+
+
+def test_audio_g711_decode_real():
+    """Round-5 G.711 mu-law/A-law (WAVE 0x07/0x06): decode tables match
+    the published Sun g711.c anchor values, encode is the midpoint-
+    threshold inverse (value round-trip exact for every codeword, nearest
+    level for arbitrary input), and the full WAV path decodes with pinned
+    RMS goldens."""
+    import numpy as np
+
+    from img2table_ray.imgops.g711 import (
+        _ALAW_DECODE, _ULAW_DECODE, alaw_decode, alaw_encode,
+        encode_wav_g711, ulaw_decode, ulaw_encode)
+    from img2table_ray.pipelines.multimodal import AudioFeatureStage
+
+    # published expansion anchors (Sun g711.c / ITU G.711 tables)
+    assert _ULAW_DECODE[0x00] == -32124 and _ULAW_DECODE[0x80] == 32124
+    assert _ULAW_DECODE[0xFF] == 0 and _ULAW_DECODE[0x7F] == 0
+    assert _ALAW_DECODE[0xD5] == 8 and _ALAW_DECODE[0x55] == -8
+    assert _ALAW_DECODE[0x2A] == -32256 and _ALAW_DECODE[0xAA] == 32256
+
+    # exact value round-trip through every codeword's decode level
+    for dec_tab, enc, dec in ((_ULAW_DECODE, ulaw_encode, ulaw_decode),
+                              (_ALAW_DECODE, alaw_encode, alaw_decode)):
+        v = dec_tab.astype(np.int16)
+        assert np.array_equal(dec(enc(v)), v)
+
+    # quantizer picks the nearest decode level for arbitrary samples
+    rng = np.random.RandomState(7)
+    x = rng.randint(-32768, 32768, 4096).astype(np.int16)
+    for enc, dec, tab in ((ulaw_encode, ulaw_decode, _ULAW_DECODE),
+                          (alaw_encode, alaw_decode, _ALAW_DECODE)):
+        got = dec(enc(x)).astype(np.int64)
+        levels = np.unique(tab.astype(np.int64))
+        best = levels[np.argmin(
+            np.abs(levels[None, :] - x.astype(np.int64)[:, None]), axis=1)]
+        assert np.array_equal(np.abs(got - x), np.abs(best - x))
+
+    # full WAV path with pinned RMS goldens (deterministic tables)
+    t = np.arange(4000) / 8000.0
+    sine = np.clip(np.round(np.sin(2 * np.pi * 440 * t) * 0.5 * 32767),
+                   -32768, 32767).astype(np.int16)
+    d, sr, rms = AudioFeatureStage._decode_wav(
+        encode_wav_g711(sine, 8000, kind="ulaw"))
+    assert (d, sr) == (0.5, 8000)
+    assert abs(rms - 0.352497) < 1e-6
+    d, sr, rms = AudioFeatureStage._decode_wav(
+        encode_wav_g711(sine, 8000, kind="alaw"))
+    assert (d, sr) == (0.5, 8000)
+    assert abs(rms - 0.352815) < 1e-6
