@@ -275,7 +275,8 @@ class VideoFrameSampleStage:
 
     REAL demux + decode for RIFF/AVI containers carrying MJPEG
     (``MJPG``/``dmb1`` — each frame is a JPEG, decoded by the in-repo
-    T.81 decoder) or uncompressed DIB (``BI_RGB`` 24/32-bit) video: per
+    T.81 decoder), uncompressed DIB (``BI_RGB`` 24/32-bit or 8-bit
+    palettized), or MS-RLE8 (``BI_RLE8``, imgops/rle8.py) video: per
     row emits (duration_s, fps, n_frames) plus mean luma of
     ``n_samples`` evenly spaced DECODED frames (only the sampled frames
     are decoded; the demux walk itself touches headers, not pixels).
@@ -304,10 +305,12 @@ class VideoFrameSampleStage:
         compression = b""
         bitcount = 24
         width = height = 0
+        palette = b""
         frames: list[tuple[int, int]] = []  # (offset, length) into data
 
         def walk(pos: int, end: int, in_movi: bool) -> None:
-            nonlocal rate, scale, usec_pf, compression, bitcount, width, height
+            nonlocal rate, scale, usec_pf, compression, bitcount, width, \
+                height, palette
             while pos + 8 <= end:
                 tag = data[pos : pos + 4]
                 n = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -330,6 +333,8 @@ class VideoFrameSampleStage:
                     bitcount = int.from_bytes(data[body + 14 : body + 16],
                                               "little")
                     compression = data[body + 16 : body + 20]
+                    if n > 40:  # RGBQUAD palette follows the 40-byte header
+                        palette = data[body + 40 : bend]
                 elif in_movi and tag[2:4] in (b"dc", b"db") and n > 0:
                     frames.append((body, n))
                 pos += 8 + n + (n & 1)
@@ -357,6 +362,29 @@ class VideoFrameSampleStage:
                     data, np.uint8, stride * h, off).reshape(h, stride)
                 img = rows[:, : width * nch].reshape(h, width, nch)[..., :3]
                 img = img[:, :, ::-1]  # BGR -> RGB
+                return img if height < 0 else img[::-1]  # bottom-up default
+        elif bitcount == 8 and compression in (b"\x00\x00\x00\x00",
+                                               b"\x01\x00\x00\x00"):
+            # palettized DIB: BI_RGB (0) rows or BI_RLE8 (1) runs -> RGB
+            # via the strf RGBQUAD palette (BGRX byte order)
+            pal = np.frombuffer(
+                palette[:1024].ljust(1024, b"\x00"), np.uint8
+            ).reshape(256, 4)[:, 2::-1].copy()  # BGRX -> RGB
+            rle = compression == b"\x01\x00\x00\x00"
+            stride = (width + 3) & ~3
+
+            def get(i: int) -> np.ndarray:
+                from img2table_ray.imgops.rle8 import rle8_decode
+
+                off, n = frames[i]
+                h = abs(height)
+                if rle:
+                    idx = rle8_decode(data[off : off + n], width, h)
+                else:
+                    idx = np.frombuffer(
+                        data, np.uint8, stride * h, off
+                    ).reshape(h, stride)[:, :width]
+                img = pal[idx]
                 return img if height < 0 else img[::-1]  # bottom-up default
         else:
             raise NotImplementedError(
@@ -424,14 +452,21 @@ class VideoFrameSampleStage:
 
 
 def synth_avi(seed: int, codec: str = "MJPG") -> bytes:
-    """Deterministic small RIFF/AVI clip — MJPEG (in-repo JPEG encoder)
-    or uncompressed 24-bit DIB frames, seeded gradient+block content."""
+    """Deterministic small RIFF/AVI clip — MJPEG (in-repo JPEG encoder),
+    uncompressed 24-bit DIB, or palettized MS-RLE8 (``codec="RLE8"``,
+    imgops/rle8.py) frames, seeded gradient+block content."""
     import struct as _s
 
     rng = np.random.RandomState(seed)
     w, h = 48, 32
     fps = 10 + seed % 3
     n_frames = 6 + seed % 5
+    # RLE8 palette: frame bytes are the red-channel gradient; RGBQUAD
+    # (B,G,R,0) maps index i -> pure red i, with 255 mapped to white so
+    # the seeded block stays white like the truecolor variants
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:, 2] = np.arange(256)  # R in RGBQUAD byte 2
+    pal[255] = (255, 255, 255, 0)
     frames = []
     for f in range(n_frames):
         img = np.zeros((h, w, 3), np.uint8)
@@ -443,6 +478,10 @@ def synth_avi(seed: int, codec: str = "MJPG") -> bytes:
             from img2table_ray.imgops.jpeg import encode_jpeg
 
             frames.append((b"00dc", encode_jpeg(img, quality=85)))
+        elif codec == "RLE8":  # palette indices = red channel, bottom-up
+            from img2table_ray.imgops.rle8 import rle8_encode
+
+            frames.append((b"00dc", rle8_encode(img[::-1, :, 0])))
         else:  # uncompressed bottom-up BGR DIB
             stride = (w * 3 + 3) & ~3
             rows = np.zeros((h, stride), np.uint8)
@@ -455,14 +494,19 @@ def synth_avi(seed: int, codec: str = "MJPG") -> bytes:
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
-    comp = b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00"
+    if codec == "MJPG":
+        comp, bits, palette = b"MJPG", 24, b""
+    elif codec == "RLE8":
+        comp, bits, palette = b"\x01\x00\x00\x00", 8, pal.tobytes()
+    else:
+        comp, bits, palette = b"\x00\x00\x00\x00", 24, b""
     avih = _s.pack("<14I", 10**6 // fps, 0, 0, 0, n_frames, 0, 1, 0, w, h,
                    0, 0, 0, 0)
     strh = (b"vids" + comp + _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
                                      n_frames, 0, 0, 0)
             + _s.pack("<4H", 0, 0, w, h))
-    strf = _s.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, comp,
-                   0, 0, 0, 0, 0)
+    strf = _s.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, comp,
+                   0, 0, 0, 0, 0) + palette
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(t, b) for t, b in frames))
@@ -481,7 +525,7 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
     n = SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)),
                     DEFAULT_ROWS) // 2
     rows = [{"url": f"https://video.example/{i:06d}.avi",
-             "video": synth_avi(i, "MJPG" if i % 3 else "DIB")}
+             "video": synth_avi(i, ("DIB", "MJPG", "RLE8", "MJPG")[i % 4])}
             for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(
