@@ -4,14 +4,16 @@ as opaque ``binary`` columns with typed metadata; decode / feature-extract
 
 Image stages (features + resize/thumbnail) are REAL — the pure-numpy
 codecs decode PNG/BMP/JPEG (baseline and progressive).  Audio is REAL
-for uncompressed RIFF/WAVE (PCM int 8/16/24/32 + IEEE float, no codec
-needed).  Video is REAL for RIFF/AVI carrying MJPEG (in-repo JPEG
-decoder) or uncompressed DIB frames.  Only genuinely codec-requiring
-formats (MP3/AAC audio, inter-frame H.264/VP9 video — no library in
-this container) stay clearly-marked STUBS: the actor signature, batch
-schema and output layout are real and tested; ``decode`` raises
-``NotImplementedError`` unless the deterministic-fake mode is enabled
-(hash-derived features, useful for exercising the plumbing end-to-end).
+for RIFF/WAVE (PCM int 8/16/24/32 + IEEE float, IMA/MS ADPCM, G.711
+mu-law/A-law) and for lossless FLAC (imgops/flac.py).  Video is REAL
+for RIFF/AVI carrying MJPEG (in-repo JPEG decoder), uncompressed DIB
+(24/32-bit or 8-bit palettized), or MS-RLE8 frames.  Only genuinely
+codec-requiring formats (MP3/AAC audio, inter-frame H.264/VP9 video —
+no library in this container) stay clearly-marked STUBS: the actor
+signature, batch schema and output layout are real and tested;
+``decode`` raises ``NotImplementedError`` unless the
+deterministic-fake mode is enabled (hash-derived features, useful for
+exercising the plumbing end-to-end).
 """
 
 from __future__ import annotations
@@ -73,10 +75,11 @@ class ImageFeatureStage:
 class AudioFeatureStage:
     """Actor-pool stage for audio binary columns.
 
-    REAL decode for uncompressed RIFF/WAVE payloads (PCM 8/16/24/32-bit
-    int and 32/64-bit IEEE float, incl. WAVE_FORMAT_EXTENSIBLE) — no
-    codec library needed; emits (duration_s, sample_rate, rms) per row.
-    Compressed formats (MP3/AAC/Opus — genuinely codec-requiring, none
+    REAL decode for RIFF/WAVE payloads (PCM 8/16/24/32-bit int, 32/64-bit
+    IEEE float, IMA/MS ADPCM, G.711 mu-law/A-law, incl.
+    WAVE_FORMAT_EXTENSIBLE) and lossless FLAC streams; emits
+    (duration_s, sample_rate, rms) per row.  Remaining compressed
+    formats (MP3/AAC/Opus — genuinely codec-requiring, none
     ships in this container) raise ``NotImplementedError`` unless
     ``deterministic_fake=True`` (md5-derived features — stable across
     runs, exercises schema/batching/actor plumbing)."""
@@ -162,6 +165,15 @@ class AudioFeatureStage:
     def _decode(self, data: bytes) -> tuple[float, int, float]:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return self._decode_wav(data)
+        if data[:4] == b"fLaC":  # lossless FLAC (round 5, imgops/flac.py)
+            from img2table_ray.imgops.flac import decode_flac
+
+            s, rate, channels, bits = decode_flac(data)
+            frames = len(s) // channels
+            if frames == 0:
+                return 0.0, rate, 0.0
+            x = s.astype(np.float64) / float(1 << (bits - 1))
+            return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
         if not self._fake:
             raise NotImplementedError(
                 "compressed audio needs a codec (none in this environment); "
@@ -537,9 +549,10 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
 def synth_wav(seed: int) -> bytes:
     """Deterministic small RIFF/WAVE clip (sine + seeded noise): PCM16
     for even seeds, with codec rows interleaved so the query surface
-    exercises every round-5 compressed RIFF format: IMA ADPCM (seed%8==5),
-    MS ADPCM (seed%8==7) from imgops/adpcm.py, and G.711 mu-law
-    (seed%8==3) / A-law (seed%8==1) from imgops/g711.py."""
+    exercises every round-5 compressed audio format: IMA ADPCM (seed%8==5),
+    MS ADPCM (seed%8==7) from imgops/adpcm.py, G.711 mu-law (seed%8==3)
+    / A-law (seed%8==1) from imgops/g711.py, and lossless FLAC
+    (seed%16==2, a non-RIFF container) from imgops/flac.py."""
     rng = np.random.RandomState(seed)
     rate = int(8000 * (1 + seed % 3))
     n = rate // 4 + (seed % 7) * 100  # ~0.25-0.35 s
@@ -557,6 +570,10 @@ def synth_wav(seed: int) -> bytes:
 
         return encode_wav_g711(samples, rate,
                                kind="ulaw" if seed % 8 == 3 else "alaw")
+    if seed % 16 == 2:
+        from img2table_ray.imgops.flac import encode_flac
+
+        return encode_flac(samples, rate, blocksize=2048)
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 

@@ -334,6 +334,83 @@ def test_video_avi_decode_real():
         st._decode(synth_avi(1, "MJPG").replace(b"MJPG", b"H264"))
 
 
+def test_audio_flac_decode_real():
+    """Round-5 FLAC codec (imgops/flac.py): lossless encode->decode is
+    BIT-EXACT across every subframe type and stereo mode the spec
+    defines (constant, verbatim-ish noise, fixed 0-2, LPC, wasted bits,
+    rice partitions, escape partitions, left/right/mid-side), CRCs are
+    verified, the vectorized fixed-predictor reconstruction matches the
+    spec's loop form exactly, and the audio stage's FLAC RMS equals the
+    PCM RMS of identical samples (losslessness observed end-to-end)."""
+    import numpy as np
+    import pytest
+
+    from img2table_ray.imgops.flac import (
+        _restore_fixed_exact, _restore_fixed_vec, decode_flac, encode_flac)
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, synth_wav)
+
+    rng = np.random.RandomState(0)
+    t = np.arange(5000) / 16000.0
+    x = np.clip(np.round(np.sin(2 * np.pi * 330 * t) * 0.4 * 32767
+                         + rng.randn(5000) * 500),
+                -32768, 32767).astype(np.int16)
+    st = np.stack([x, (x[::-1] // 2).astype(np.int16)], axis=1)
+
+    # every container shape round-trips bit-exactly
+    for enc_kw in ({"blocksize": 1024},
+                   {"blocksize": 2048, "partition_order": 2},
+                   {"blocksize": 2048, "escape": True},
+                   {"blocksize": 2048, "lpc": ([410, -110], 8, 12)}):
+        s, rate, ch, bits = decode_flac(encode_flac(x, 16000, **enc_kw))
+        assert (rate, ch, bits) == (16000, 1, 16)
+        assert np.array_equal(s, x.astype(np.int32)), enc_kw
+    for mode in ("indep", "ls", "rs", "ms"):
+        s, _, ch, _ = decode_flac(
+            encode_flac(st, 44100, blocksize=512, channel_mode=mode))
+        assert ch == 2
+        assert np.array_equal(s.reshape(-1, 2), st.astype(np.int32)), mode
+
+    # wasted bits + constant subframes
+    w = (rng.randint(-2000, 2000, 3000) * 8).astype(np.int16)
+    s, _, _, _ = decode_flac(encode_flac(w, 8000, blocksize=1024))
+    assert np.array_equal(s, w.astype(np.int32))
+    z = np.zeros(1000, np.int16)
+    s, _, _, _ = decode_flac(encode_flac(z, 8000))
+    assert np.array_equal(s, z.astype(np.int32))
+
+    # corrupt stream -> CRC error, not garbage output
+    blob = bytearray(encode_flac(x[:2048], 8000))
+    blob[-40] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+
+    # vectorized fixed reconstruction == spec loop form (differential pin)
+    for order in range(5):
+        warm = [int(v) for v in rng.randint(-30000, 30000, max(order, 1))][:order]
+        resid = rng.randint(-500, 500, 200).astype(np.int64)
+        got = _restore_fixed_vec(warm, resid, order)
+        exp = _restore_fixed_exact(warm, resid, order)
+        assert np.array_equal(got, exp), order
+
+    # stage end-to-end: FLAC RMS == PCM RMS of the same samples (lossless)
+    st_dec = AudioFeatureStage()
+    flac_row = synth_wav(2)  # seed%16==2 -> FLAC
+    assert flac_row[:4] == b"fLaC"
+    d_f, sr_f, rms_f = st_dec._decode(flac_row)
+    # decode the same seed's samples as PCM by rebuilding them
+    rate = int(8000 * (1 + 2 % 3))
+    n = rate // 4 + (2 % 7) * 100
+    tt = np.arange(n) / rate
+    rng2 = np.random.RandomState(2)
+    xx = (0.5 * np.sin(2 * np.pi * (220 + 20 * (2 % 9)) * tt)
+          + 0.05 * rng2.randn(n))
+    samples = np.clip(np.round(xx * 32767), -32768, 32767).astype(np.int16)
+    ref = samples.astype(np.float64) / 32768.0
+    assert abs(rms_f - float(np.sqrt(np.mean(ref * ref)))) < 1e-12
+    assert sr_f == rate and abs(d_f - n / rate) < 1e-9
+
+
 def test_video_rle8_decode_real():
     """MS-RLE8 AVI frames (round 5): encode->decode round-trips exactly,
     the spec's escape modes (delta, absolute, early EOL/EOD) decode per
