@@ -174,6 +174,14 @@ class AudioFeatureStage:
                 return 0.0, rate, 0.0
             x = s.astype(np.float64) / float(1 << (bits - 1))
             return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
+        if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
+                                  and (data[1] & 0xE0) == 0xE0):
+            # MP3: frame-header walk -> duration/rate, rms=None
+            # (metadata_only — Layer III decode needs a codec)
+            from img2table_ray.imgops.mpegaudio import parse_mp3
+
+            m = parse_mp3(data)
+            return m["duration_s"], m["sample_rate"], None
         if not self._fake:
             raise NotImplementedError(
                 "compressed audio needs a codec (none in this environment); "
@@ -194,7 +202,7 @@ class AudioFeatureStage:
                 durs.append(d)
                 srs.append(sr)
                 rmss.append(r)
-                status.append("ok")
+                status.append("ok" if r is not None else "metadata_only")
             except NotImplementedError:
                 durs.append(None)
                 srs.append(None)
@@ -416,6 +424,14 @@ class VideoFrameSampleStage:
                      + 0.114 * img[..., 2]) / 255.0
                 lumas.append(round(float(y.mean()), 6))
             return round(n_frames / fps, 3), float(fps), n_frames, lumas
+        if len(data) > 8 and data[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): container walk -> duration/fps/frames,
+            # lumas=None (metadata_only — inter-frame codecs need a
+            # decoder; see imgops/isobmff.py)
+            from img2table_ray.imgops.isobmff import parse_mp4
+
+            m = parse_mp4(data)
+            return m["duration_s"], m["fps"], m["n_frames"], None
         if not self._fake:
             raise NotImplementedError(
                 "inter-frame video needs a codec (none in this "
@@ -438,8 +454,11 @@ class VideoFrameSampleStage:
                 durs.append(d)
                 fpss.append(f)
                 nfs.append(n)
-                lumas.append(ls)
-                status.append("ok")
+                # empty list (not null) for metadata rows: a nullable
+                # list column trips Ray's tensor-extension casting, and
+                # `status` already carries the distinction
+                lumas.append(ls if ls is not None else [])
+                status.append("ok" if ls is not None else "metadata_only")
             except NotImplementedError:
                 durs.append(None)
                 fpss.append(None)
@@ -536,9 +555,17 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
 
     n = SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)),
                     DEFAULT_ROWS) // 2
-    rows = [{"url": f"https://video.example/{i:06d}.avi",
-             "video": synth_avi(i, ("DIB", "MJPG", "RLE8", "MJPG")[i % 4])}
-            for i in range(n)]
+    def payload(i: int) -> bytes:
+        kind = ("DIB", "MJPG", "RLE8", "MJPG", "MP4")[i % 5]
+        if kind == "MP4":  # ISO-BMFF metadata_only row
+            from img2table_ray.imgops.isobmff import synth_mp4
+
+            return synth_mp4(i)
+        return synth_avi(i, kind)
+
+    rows = [{"url": f"https://video.example/{i:06d}."
+                    f"{'mp4' if i % 5 == 4 else 'avi'}",
+             "video": payload(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", batch_size=16,
@@ -574,6 +601,10 @@ def synth_wav(seed: int) -> bytes:
         from img2table_ray.imgops.flac import encode_flac
 
         return encode_flac(samples, rate, blocksize=2048)
+    if seed % 16 == 10:  # MP3 metadata fixture (headers only)
+        from img2table_ray.imgops.mpegaudio import synth_mp3
+
+        return synth_mp3(seed)
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
@@ -592,7 +623,9 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
 
     n = SF_ROWS.get(__import__("os").path.basename(
         __import__("os").path.normpath(sf_dir)), DEFAULT_ROWS) // 2
-    rows = [{"url": f"https://audio.example/{i:06d}.wav",
+    ext = {2: "flac", 10: "mp3"}
+    rows = [{"url": f"https://audio.example/{i:06d}."
+                    f"{ext.get(i % 16, 'wav')}",
              "audio": synth_wav(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(

@@ -275,9 +275,16 @@ def test_audio_features_query(ray_session):
     from img2table_ray.pipelines.multimodal import audio_features
 
     df = audio_features("/root/testdata/sf0.001").to_pandas()
-    assert len(df) == 32 and (df["status"] == "ok").all()
-    assert (df["duration_s"] > 0.2).all() and df["sample_rate"].isin(
-        [8000, 16000, 24000]).all()
+    assert len(df) == 32
+    # WAV/FLAC rows fully decode; MP3 rows (seed%16==10) are the
+    # metadata_only path (frame-header walk, no PCM)
+    mp3 = df["url"].str.endswith(".mp3")
+    assert (df.loc[~mp3, "status"] == "ok").all()
+    assert (df.loc[mp3, "status"] == "metadata_only").all() and mp3.sum() == 2
+    assert df.loc[mp3, "rms"].isna().all()
+    assert (df["duration_s"] > 0.2).all()
+    assert df.loc[~mp3, "sample_rate"].isin([8000, 16000, 24000]).all()
+    assert df.loc[mp3, "sample_rate"].isin([44100, 48000, 32000]).all()
 
 
 def test_video_avi_decode_real():
@@ -411,6 +418,52 @@ def test_audio_flac_decode_real():
     assert sr_f == rate and abs(d_f - n / rate) < 1e-9
 
 
+def test_container_metadata_walks():
+    """Round-5 metadata_only paths: the ISO-BMFF (MP4) box walk and the
+    MPEG-audio (MP3) frame-header walk report real container numbers
+    (duration/fps/frames/rate/bitrate) without decoding; tag skipping
+    (ID3v2/ID3v1), resync, and failure on junk all per the public
+    specs."""
+    import numpy as np
+    import pytest
+
+    from img2table_ray.imgops.isobmff import parse_mp4, synth_mp4
+    from img2table_ray.imgops.mpegaudio import parse_mp3, synth_mp3
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, VideoFrameSampleStage)
+
+    # MP4: every synth fixture's numbers round-trip exactly
+    for seed in range(6):
+        m = parse_mp4(synth_mp4(seed))
+        fps = 24 + seed % 6
+        n = 48 + (seed % 10) * fps
+        assert (m["fps"], m["n_frames"]) == (float(fps), n)
+        assert m["duration_s"] == round(n / fps, 3)
+        assert m["codec"] == "avc1"
+        assert m["width"] == 320 + 16 * (seed % 8)
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08ftypisom")  # no moov
+    with pytest.raises(ValueError):
+        parse_mp4(b"junkjunkjunk")
+
+    # MP3: frame walk over valid headers, ID3 tags skipped, junk fails
+    for seed in range(6):
+        m = parse_mp3(synth_mp3(seed))
+        n = 20 + (seed % 7) * 10
+        rate = [44100, 48000, 32000][seed % 3]
+        assert m["n_frames"] == n and m["sample_rate"] == rate
+        assert abs(m["duration_s"] - n * 1152 / rate) < 0.002
+    with pytest.raises(ValueError):
+        parse_mp3(b"\xff\xee" + b"\x00" * 64)  # sync-ish junk
+
+    # stage plumbing: MP4 -> video metadata_only; MP3 -> audio
+    vd = VideoFrameSampleStage()._decode(synth_mp4(3))
+    assert vd[3] is None and vd[2] == 48 + 3 * 27
+    ad = AudioFeatureStage()._decode(synth_mp3(4))
+    assert ad[2] is None and ad[1] == 48000
+    del np
+
+
 def test_video_rle8_decode_real():
     """MS-RLE8 AVI frames (round 5): encode->decode round-trips exactly,
     the spec's escape modes (delta, absolute, early EOL/EOD) decode per
@@ -453,9 +506,15 @@ def test_video_frames_query(ray_session):
     from img2table_ray.pipelines.multimodal import video_frames
 
     df = video_frames("/root/testdata/sf0.001").to_pandas()
-    assert len(df) == 32 and (df["status"] == "ok").all()
+    assert len(df) == 32
+    # AVI rows decode sampled frames; MP4 rows (i%5==4) are the
+    # metadata_only path (ISO-BMFF walk, no pixels)
+    mp4 = df["url"].str.endswith(".mp4")
+    assert (df.loc[~mp4, "status"] == "ok").all()
+    assert (df.loc[mp4, "status"] == "metadata_only").all() and mp4.sum() == 6
     assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
-    assert df["frame_lumas"].map(len).ge(1).all()
+    assert df.loc[~mp4, "frame_lumas"].map(len).ge(1).all()
+    assert df.loc[mp4, "frame_lumas"].map(len).eq(0).all()
 
 
 def test_multimodal_stages(ray_session, corpus):
