@@ -424,6 +424,28 @@ class VideoFrameSampleStage:
                      + 0.114 * img[..., 2]) / 255.0
                 lumas.append(round(float(y.mean()), 6))
             return round(n_frames / fps, 3), float(fps), n_frames, lumas
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: the most common web "video" needing no
+            # external codec.  Frames are DELTAS (disposal/compositing),
+            # so the walk composes every frame up to the cap; sampling
+            # then picks n_samples composed canvases.
+            from img2table_ray.imgops.gif import gif_frames
+
+            frames, delays = gif_frames(data, max_frames=512)
+            n_frames = len(frames)
+            total_cs = sum(delays)
+            # delay-0 GIFs render at the conventional 10 cs/frame
+            duration = (total_cs if total_cs else 10 * n_frames) / 100.0
+            fps = n_frames / duration if duration else 0.0
+            idx = np.unique(np.linspace(
+                0, n_frames - 1, min(self._n, n_frames)).round().astype(int))
+            lumas = []
+            for i in idx:
+                img = frames[int(i)].astype(np.float64)
+                y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                     + 0.114 * img[..., 2]) / 255.0
+                lumas.append(round(float(y.mean()), 6))
+            return round(duration, 3), round(fps, 3), n_frames, lumas
         if len(data) > 8 and data[4:8] == b"ftyp":
             # ISO-BMFF (MP4/MOV): container walk -> duration/fps/frames,
             # lumas=None (metadata_only — inter-frame codecs need a
@@ -556,21 +578,46 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
     n = SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)),
                     DEFAULT_ROWS) // 2
     def payload(i: int) -> bytes:
-        kind = ("DIB", "MJPG", "RLE8", "MJPG", "MP4")[i % 5]
+        kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4")[i % 5]
         if kind == "MP4":  # ISO-BMFF metadata_only row
             from img2table_ray.imgops.isobmff import synth_mp4
 
             return synth_mp4(i)
+        if kind == "GIFA":  # animated GIF (real full decode)
+            return synth_gif_anim(i)
         return synth_avi(i, kind)
 
+    exts = {3: "gif", 4: "mp4"}
     rows = [{"url": f"https://video.example/{i:06d}."
-                    f"{'mp4' if i % 5 == 4 else 'avi'}",
+                    f"{exts.get(i % 5, 'avi')}",
              "video": payload(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", batch_size=16,
         concurrency=actor_concurrency(), num_cpus=1,
     )
+
+
+def synth_gif_anim(seed: int) -> bytes:
+    """Deterministic animated GIF clip: same seeded gradient+block
+    content family as ``synth_avi``, full-frame descriptors with
+    per-frame GCE delays."""
+    from img2table_ray.imgops.gif import encode_gif_anim
+
+    rng = np.random.RandomState(seed)
+    w, h = 48, 32
+    n_frames = 6 + seed % 5
+    delay_cs = 100 // (10 + seed % 3)  # ~the AVI fps family
+    frames = []
+    for f in range(n_frames):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = (np.linspace(0, 255, w).astype(np.uint8)
+                        // 32 * 32)[None, :]  # coarse ramp: <=256 colors
+        img[:, :, 1] = (40 * f + 30) % 256
+        x0, y0 = rng.randint(0, w - 8), rng.randint(0, h - 8)
+        img[y0 : y0 + 8, x0 : x0 + 8] = 255
+        frames.append(img)
+    return encode_gif_anim(frames, [delay_cs] * n_frames)
 
 
 def synth_wav(seed: int) -> bytes:

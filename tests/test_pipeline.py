@@ -418,6 +418,67 @@ def test_audio_flac_decode_real():
     assert sr_f == rate and abs(d_f - n / rate) < 1e-9
 
 
+def test_video_gif_animation_real():
+    """Animated GIF as video (round 5): full-frame round-trip through
+    encode_gif_anim/gif_frames, 89a compositing semantics (delta frame
+    with transparency keeps the underlying canvas; disposal 2 restores
+    background), decode_gif keeps first-frame page semantics, and the
+    stage reports duration/fps from the GCE delays."""
+    import struct
+
+    import numpy as np
+
+    from img2table_ray.imgops.gif import (
+        decode_gif, encode_gif_anim, gif_frames)
+    from img2table_ray.pipelines.multimodal import (
+        VideoFrameSampleStage, synth_gif_anim)
+
+    frames = []
+    for f in range(5):
+        img = np.zeros((20, 30, 3), np.uint8)
+        img[:, :, 0] = (f * 50) % 256
+        img[5:10, 5:15] = 255
+        frames.append(img)
+    b = encode_gif_anim(frames, [4, 4, 6, 6, 10])
+    fs, ds = gif_frames(b)
+    assert len(fs) == 5 and ds == [4, 4, 6, 6, 10]
+    for got, exp in zip(fs, frames):
+        assert np.array_equal(got, exp)
+    assert np.array_equal(decode_gif(b), frames[0])  # page semantics
+
+    # hand-built delta frame: GCE(transparent idx 0, disposal 2), a 2x2
+    # sub-rectangle at (1,1) whose transparent pixels keep the canvas
+    from img2table_ray.imgops.gif import _lzw_encode_gif
+
+    def img_block(left, top, w, h, indices):
+        s = _lzw_encode_gif(bytes(indices), 2)
+        return (b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+                + bytes([2, len(s)]) + s + b"\x00")
+
+    pal = b"\x00\x00\x00\xff\x00\x00\x10\x20\x30\x00\x00\x00"
+    gif = bytearray(b"GIF89a" + struct.pack("<HHBBB", 4, 3, 0x81, 2, 0))
+    gif += pal
+    # frame 1: full screen of index 2 (0x10 0x20 0x30)
+    gif += img_block(0, 0, 4, 3, [2] * 12)
+    # GCE: disposal 2, transparency on, index 0, delay 5
+    gif += b"\x21\xf9\x04" + bytes([(2 << 2) | 1, 5, 0, 0]) + b"\x00"
+    # frame 2: 2x2 at (1,1), indices [[1,0],[0,1]] -> 0 keeps canvas
+    gif += img_block(1, 1, 2, 2, [1, 0, 0, 1])
+    gif += b"\x3b"
+    fs2, ds2 = gif_frames(bytes(gif))
+    assert len(fs2) == 2 and ds2 == [0, 5]
+    assert (fs2[0] == [0x10, 0x20, 0x30]).all()
+    assert tuple(fs2[1][1, 1]) == (255, 0, 0)      # index 1 drawn
+    assert tuple(fs2[1][1, 2]) == (0x10, 0x20, 0x30)  # transparent keeps
+    assert tuple(fs2[1][2, 2]) == (255, 0, 0)
+
+    # stage path: synth clip fps/duration from the GCE delay family
+    st = VideoFrameSampleStage(n_samples=3)
+    d, fps, nf, lumas = st._decode(synth_gif_anim(4))
+    assert nf == 10 and abs(fps - 100 / (100 // 11)) < 1e-3  # fps rounded
+    assert len(lumas) == 3 and all(0 < l < 1 for l in lumas)
+
+
 def test_container_metadata_walks():
     """Round-5 metadata_only paths: the ISO-BMFF (MP4) box walk and the
     MPEG-audio (MP3) frame-header walk report real container numbers
