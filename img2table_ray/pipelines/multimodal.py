@@ -454,6 +454,13 @@ class VideoFrameSampleStage:
 
             m = parse_mp4(data)
             return m["duration_s"], m["fps"], m["n_frames"], None
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            # Matroska/WebM: EBML walk (imgops/matroska.py), same
+            # metadata_only contract as ISO-BMFF
+            from img2table_ray.imgops.matroska import parse_webm
+
+            m = parse_webm(data)
+            return m["duration_s"], m["fps"], m["n_frames"], None
         if not self._fake:
             raise NotImplementedError(
                 "inter-frame video needs a codec (none in this "
@@ -578,18 +585,22 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
     n = SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)),
                     DEFAULT_ROWS) // 2
     def payload(i: int) -> bytes:
-        kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4")[i % 5]
+        kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4", "WEBM")[i % 6]
         if kind == "MP4":  # ISO-BMFF metadata_only row
             from img2table_ray.imgops.isobmff import synth_mp4
 
             return synth_mp4(i)
+        if kind == "WEBM":  # Matroska metadata_only row
+            from img2table_ray.imgops.matroska import synth_webm
+
+            return synth_webm(i)
         if kind == "GIFA":  # animated GIF (real full decode)
             return synth_gif_anim(i)
         return synth_avi(i, kind)
 
-    exts = {3: "gif", 4: "mp4"}
+    exts = {3: "gif", 4: "mp4", 5: "webm"}
     rows = [{"url": f"https://video.example/{i:06d}."
-                    f"{exts.get(i % 5, 'avi')}",
+                    f"{exts.get(i % 6, 'avi')}",
              "video": payload(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(

@@ -517,9 +517,25 @@ def test_container_metadata_walks():
     with pytest.raises(ValueError):
         parse_mp3(b"\xff\xee" + b"\x00" * 64)  # sync-ish junk
 
-    # stage plumbing: MP4 -> video metadata_only; MP3 -> audio
+    # WebM: EBML walk round-trips the muxed numbers exactly
+    from img2table_ray.imgops.matroska import parse_webm, synth_webm
+
+    for seed in range(6):
+        m = parse_webm(synth_webm(seed))
+        fps = 24 + seed % 6
+        n = 48 + (seed % 10) * fps
+        assert (m["fps"], m["n_frames"]) == (float(fps), n)
+        assert abs(m["duration_s"] - n / fps) < 0.002
+        assert m["codec"] == "V_VP9"
+        assert m["width"] == 640 + 16 * (seed % 8)
+    with pytest.raises(ValueError):
+        parse_webm(b"\x1a\x45\xdf\xa3junk")
+
+    # stage plumbing: MP4/WebM -> video metadata_only; MP3 -> audio
     vd = VideoFrameSampleStage()._decode(synth_mp4(3))
     assert vd[3] is None and vd[2] == 48 + 3 * 27
+    vw = VideoFrameSampleStage()._decode(synth_webm(3))
+    assert vw[3] is None and vw[2] == 48 + 3 * 27
     ad = AudioFeatureStage()._decode(synth_mp3(4))
     assert ad[2] is None and ad[1] == 48000
     del np
@@ -568,14 +584,15 @@ def test_video_frames_query(ray_session):
 
     df = video_frames("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # AVI rows decode sampled frames; MP4 rows (i%5==4) are the
-    # metadata_only path (ISO-BMFF walk, no pixels)
-    mp4 = df["url"].str.endswith(".mp4")
-    assert (df.loc[~mp4, "status"] == "ok").all()
-    assert (df.loc[mp4, "status"] == "metadata_only").all() and mp4.sum() == 6
+    # AVI/GIF rows decode sampled frames; MP4 (i%6==4) and WebM
+    # (i%6==5) rows are the metadata_only paths (container walks)
+    meta = df["url"].str.endswith(".mp4") | df["url"].str.endswith(".webm")
+    assert (df.loc[~meta, "status"] == "ok").all()
+    assert (df.loc[meta, "status"] == "metadata_only").all()
+    assert meta.sum() == 10 and df["url"].str.endswith(".gif").sum() == 5
     assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
-    assert df.loc[~mp4, "frame_lumas"].map(len).ge(1).all()
-    assert df.loc[mp4, "frame_lumas"].map(len).eq(0).all()
+    assert df.loc[~meta, "frame_lumas"].map(len).ge(1).all()
+    assert df.loc[meta, "frame_lumas"].map(len).eq(0).all()
 
 
 def test_multimodal_stages(ray_session, corpus):
