@@ -182,6 +182,13 @@ class AudioFeatureStage:
 
             m = parse_mp3(data)
             return m["duration_s"], m["sample_rate"], None
+        if data[:4] == b"OggS":
+            # Ogg Vorbis/Opus: granule-position walk (imgops/ogg.py),
+            # same metadata_only contract as MP3
+            from img2table_ray.imgops.ogg import parse_ogg
+
+            m = parse_ogg(data)
+            return m["duration_s"], m["sample_rate"], None
         if not self._fake:
             raise NotImplementedError(
                 "compressed audio needs a codec (none in this environment); "
@@ -636,8 +643,10 @@ def synth_wav(seed: int) -> bytes:
     for even seeds, with codec rows interleaved so the query surface
     exercises every round-5 compressed audio format: IMA ADPCM (seed%8==5),
     MS ADPCM (seed%8==7) from imgops/adpcm.py, G.711 mu-law (seed%8==3)
-    / A-law (seed%8==1) from imgops/g711.py, and lossless FLAC
-    (seed%16==2, a non-RIFF container) from imgops/flac.py."""
+    / A-law (seed%8==1) from imgops/g711.py, lossless FLAC (seed%16==2)
+    from imgops/flac.py, and the metadata_only containers — MP3
+    (seed%16==10, imgops/mpegaudio.py) and Ogg Vorbis/Opus
+    (seed%16==6/14, imgops/ogg.py)."""
     rng = np.random.RandomState(seed)
     rate = int(8000 * (1 + seed % 3))
     n = rate // 4 + (seed % 7) * 100  # ~0.25-0.35 s
@@ -663,6 +672,10 @@ def synth_wav(seed: int) -> bytes:
         from img2table_ray.imgops.mpegaudio import synth_mp3
 
         return synth_mp3(seed)
+    if seed % 16 in (6, 14):  # Ogg Vorbis/Opus metadata fixture
+        from img2table_ray.imgops.ogg import synth_ogg
+
+        return synth_ogg(seed, "vorbis" if seed % 16 == 6 else "opus")
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
@@ -681,7 +694,7 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
 
     n = SF_ROWS.get(__import__("os").path.basename(
         __import__("os").path.normpath(sf_dir)), DEFAULT_ROWS) // 2
-    ext = {2: "flac", 10: "mp3"}
+    ext = {2: "flac", 6: "ogg", 10: "mp3", 14: "opus"}
     rows = [{"url": f"https://audio.example/{i:06d}."
                     f"{ext.get(i % 16, 'wav')}",
              "audio": synth_wav(i)} for i in range(n)]

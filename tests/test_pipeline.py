@@ -276,15 +276,19 @@ def test_audio_features_query(ray_session):
 
     df = audio_features("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # WAV/FLAC rows fully decode; MP3 rows (seed%16==10) are the
-    # metadata_only path (frame-header walk, no PCM)
-    mp3 = df["url"].str.endswith(".mp3")
-    assert (df.loc[~mp3, "status"] == "ok").all()
-    assert (df.loc[mp3, "status"] == "metadata_only").all() and mp3.sum() == 2
-    assert df.loc[mp3, "rms"].isna().all()
+    # WAV/FLAC rows fully decode; MP3 (seed%16==10) and Ogg Vorbis/Opus
+    # (seed%16==6/14) rows are the metadata_only paths (container walks)
+    meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus)$")
+    assert (df.loc[~meta, "status"] == "ok").all()
+    assert (df.loc[meta, "status"] == "metadata_only").all()
+    assert meta.sum() == 6
+    assert df.loc[meta, "rms"].isna().all()
     assert (df["duration_s"] > 0.2).all()
-    assert df.loc[~mp3, "sample_rate"].isin([8000, 16000, 24000]).all()
+    assert df.loc[~meta, "sample_rate"].isin([8000, 16000, 24000]).all()
+    mp3 = df["url"].str.endswith(".mp3")
     assert df.loc[mp3, "sample_rate"].isin([44100, 48000, 32000]).all()
+    assert df.loc[meta & ~mp3, "sample_rate"].isin(
+        [8000, 16000, 24000]).all()
 
 
 def test_video_avi_decode_real():
@@ -531,13 +535,30 @@ def test_container_metadata_walks():
     with pytest.raises(ValueError):
         parse_webm(b"\x1a\x45\xdf\xa3junk")
 
-    # stage plumbing: MP4/WebM -> video metadata_only; MP3 -> audio
+    # Ogg: granule-position duration for both Vorbis and Opus ID headers
+    from img2table_ray.imgops.ogg import parse_ogg, synth_ogg
+
+    for seed in range(6):
+        rate = int(8000 * (1 + seed % 3))
+        ns = rate // 2 + (seed % 5) * 1000
+        m = parse_ogg(synth_ogg(seed, "vorbis"))
+        assert (m["codec"], m["sample_rate"]) == ("vorbis", rate)
+        assert abs(m["duration_s"] - ns / rate) < 0.002
+        m = parse_ogg(synth_ogg(seed, "opus"))
+        assert (m["codec"], m["sample_rate"]) == ("opus", rate)
+        assert abs(m["duration_s"] - (ns * 48000 // rate) / 48000) < 0.002
+    with pytest.raises(ValueError):
+        parse_ogg(b"OggS" + b"\x00" * 40)
+
+    # stage plumbing: MP4/WebM -> video metadata_only; MP3/Ogg -> audio
     vd = VideoFrameSampleStage()._decode(synth_mp4(3))
     assert vd[3] is None and vd[2] == 48 + 3 * 27
     vw = VideoFrameSampleStage()._decode(synth_webm(3))
     assert vw[3] is None and vw[2] == 48 + 3 * 27
     ad = AudioFeatureStage()._decode(synth_mp3(4))
     assert ad[2] is None and ad[1] == 48000
+    ao = AudioFeatureStage()._decode(synth_ogg(4, "opus"))
+    assert ao[2] is None and ao[1] == 16000
     del np
 
 
