@@ -182,6 +182,26 @@ class AudioFeatureStage:
 
             m = parse_mp3(data)
             return m["duration_s"], m["sample_rate"], None
+        if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+            # AIFF/AIFF-C: real PCM decode (imgops/aiff.py)
+            from img2table_ray.imgops.aiff import decode_aiff
+
+            x, rate, channels = decode_aiff(data)
+            frames = len(x) // channels
+            if frames == 0:
+                return 0.0, rate, 0.0
+            x = x[: frames * channels]
+            return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
+        if data[:4] == b".snd":
+            # Sun AU: real PCM/G.711 decode (imgops/aiff.py)
+            from img2table_ray.imgops.aiff import decode_au
+
+            x, rate, channels = decode_au(data)
+            frames = len(x) // channels
+            if frames == 0:
+                return 0.0, rate, 0.0
+            x = x[: frames * channels]
+            return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
         if data[:4] == b"OggS":
             # Ogg Vorbis/Opus: granule-position walk (imgops/ogg.py),
             # same metadata_only contract as MP3
@@ -676,6 +696,15 @@ def synth_wav(seed: int) -> bytes:
         from img2table_ray.imgops.ogg import synth_ogg
 
         return synth_ogg(seed, "vorbis" if seed % 16 == 6 else "opus")
+    if seed % 16 == 4:  # AIFF / AIFF-C (comp rotates with the seed)
+        from img2table_ray.imgops.aiff import encode_aiff
+
+        comp = (b"NONE", b"sowt", b"ulaw", b"alaw")[(seed // 16) % 4]
+        return encode_aiff(samples, rate, comp)
+    if seed % 16 == 12:  # Sun AU (PCM16-BE / mu-law alternating)
+        from img2table_ray.imgops.aiff import encode_au
+
+        return encode_au(samples, rate, enc=3 if (seed // 16) % 2 else 1)
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
@@ -694,7 +723,8 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
 
     n = SF_ROWS.get(__import__("os").path.basename(
         __import__("os").path.normpath(sf_dir)), DEFAULT_ROWS) // 2
-    ext = {2: "flac", 6: "ogg", 10: "mp3", 14: "opus"}
+    ext = {2: "flac", 4: "aiff", 6: "ogg", 10: "mp3", 12: "au",
+           14: "opus"}
     rows = [{"url": f"https://audio.example/{i:06d}."
                     f"{ext.get(i % 16, 'wav')}",
              "audio": synth_wav(i)} for i in range(n)]

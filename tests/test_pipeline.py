@@ -422,6 +422,88 @@ def test_audio_flac_decode_real():
     assert sr_f == rate and abs(d_f - n / rate) < 1e-9
 
 
+def test_audio_aiff_au_decode_real():
+    """AIFF/AIFF-C and Sun AU containers (round 5, imgops/aiff.py):
+    PCM byte-order variants round-trip BIT-EXACTLY, G.711 variants match
+    the shared table decoder, the 80-bit extended-float sample rate
+    round-trips, malformed streams raise instead of emitting garbage,
+    and the audio stage's RMS over synth AIFF/AU rows equals the PCM
+    reference of the identical samples."""
+    import numpy as np
+    import pytest
+
+    from img2table_ray.imgops.aiff import (
+        _ext80_to_float, _float_to_ext80, decode_aiff, decode_au,
+        encode_aiff, encode_au)
+    from img2table_ray.imgops.g711 import ulaw_decode, ulaw_encode
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, synth_wav)
+
+    # 80-bit extended float: every corpus rate round-trips exactly
+    for r in (8000, 11025, 16000, 22050, 24000, 44100, 48000, 96000):
+        assert _ext80_to_float(_float_to_ext80(float(r))) == float(r)
+    assert _ext80_to_float(b"\x00" * 10) == 0.0
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-32768, 32768, 4001).astype(np.int16)
+    st = np.stack([x[:2000], x[2000:4000]], axis=1)
+
+    # AIFF big-endian and AIFF-C sowt little-endian PCM: bit-exact
+    for comp in (b"NONE", b"sowt"):
+        s, rate, ch = decode_aiff(encode_aiff(x, 16000, comp))
+        assert (rate, ch) == (16000, 1)
+        assert np.array_equal(
+            np.round(s * 32768.0).astype(np.int16), x), comp
+        s2, _, ch2 = decode_aiff(encode_aiff(st, 44100, comp))
+        assert ch2 == 2 and len(s2) == st.size
+
+    # AIFF-C G.711: decode equals the shared table decoder's output
+    s_u, _, _ = decode_aiff(encode_aiff(x, 8000, b"ulaw"))
+    ref_u = ulaw_decode(ulaw_encode(x)).astype(np.float64) / 32768.0
+    assert np.array_equal(s_u, ref_u)
+
+    # AU: PCM16-BE bit-exact, mu-law table-exact, header fields honored
+    s3, rate3, ch3 = decode_au(encode_au(x, 22050, enc=3))
+    assert (rate3, ch3) == (22050, 1)
+    assert np.array_equal(np.round(s3 * 32768.0).astype(np.int16), x)
+    s4, _, _ = decode_au(encode_au(x, 8000, enc=1))
+    assert np.array_equal(s4, ref_u)
+
+    # malformed inputs raise, never emit garbage
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04JUNK")
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFF")  # no COMM/SSND
+    with pytest.raises(NotImplementedError):
+        blob = encode_aiff(x, 8000, b"sowt").replace(b"sowt", b"ima4")
+        decode_aiff(blob)
+    with pytest.raises(ValueError):
+        decode_au(b".snd" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_au(encode_au(x, 8000, enc=3)[:4]
+                  + b"\x00\x00\x00\x18" + b"\x00\x00\x00\x04"  # size, enc=4?
+                  + b"\x00" * 100)
+
+    # stage end-to-end: synth AIFF (seed 4 -> NONE, 20 -> sowt) and AU
+    # (seed 12 -> mu-law, 28 -> PCM16) report the PCM-reference RMS
+    stg = AudioFeatureStage()
+    for seed, tol in ((4, 1e-12), (20, 1e-12), (12, 1e-3), (28, 1e-12)):
+        blob = synth_wav(seed)
+        assert blob[:4] in (b"FORM", b".snd")
+        d, sr, rms = stg._decode(blob)
+        rate = int(8000 * (1 + seed % 3))
+        n = rate // 4 + (seed % 7) * 100
+        t = np.arange(n) / rate
+        rng2 = np.random.RandomState(seed)
+        xx = (0.5 * np.sin(2 * np.pi * (220 + 20 * (seed % 9)) * t)
+              + 0.05 * rng2.randn(n))
+        samples = np.clip(np.round(xx * 32767), -32768, 32767).astype(
+            np.int16)
+        ref = samples.astype(np.float64) / 32768.0
+        assert sr == rate and abs(d - n / rate) < 1e-9, seed
+        assert abs(rms - float(np.sqrt(np.mean(ref * ref)))) < tol, seed
+
+
 def test_video_gif_animation_real():
     """Animated GIF as video (round 5): full-frame round-trip through
     encode_gif_anim/gif_frames, 89a compositing semantics (delta frame
