@@ -273,3 +273,89 @@ def encode_wav_adpcm(x: np.ndarray, rate: int, kind: str = "ima",
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(payload)) + payload)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- Apple/QuickTime IMA4 (AIFF-C compression 'ima4') ----------------------
+#
+# Same IMA step/index tables as the WAVE variant, different packaging:
+# fixed 34-byte packets per channel (2-byte big-endian preamble = the
+# predictor's top 9 bits | 7-bit step index, then 32 payload bytes = 64
+# low-nibble-first samples).  Unlike WAVE IMA the preamble is NOT an
+# output sample -- all 64 samples decode from nibbles, and the coder
+# state carries ACROSS packets (the preamble just re-seeds it, which is
+# what makes packets independently decodable).
+
+IMA4_PACKET = 34
+IMA4_SAMPLES = 64
+
+
+def ima4_decode(raw: bytes, channels: int) -> np.ndarray:
+    """Decode AIFF-C 'ima4' SSND payload -> interleaved int16 samples.
+
+    Vectorized across packets exactly like :func:`ima_adpcm_decode`:
+    packets re-seed the coder state from their preamble, so every packet
+    decodes independently and the 64-step loop runs across all packets
+    of a channel at once."""
+    if channels < 1:
+        raise ValueError("bad channel count")
+    n_pk = len(raw) // (IMA4_PACKET * channels) * channels
+    if n_pk == 0:
+        return np.zeros(0, np.int16)
+    pk = np.frombuffer(raw[: n_pk * IMA4_PACKET], np.uint8).reshape(
+        n_pk, IMA4_PACKET)
+    preamble = (pk[:, 0].astype(np.uint16) << 8) | pk[:, 1]
+    pred = (preamble & 0xFF80).astype(np.int16).astype(np.int32)
+    index = np.clip((preamble & 0x7F).astype(np.int32), 0, 88)
+    byts = pk[:, 2:]
+    nib = np.empty((n_pk, IMA4_SAMPLES), np.uint8)
+    nib[:, 0::2] = byts & 0x0F
+    nib[:, 1::2] = byts >> 4
+    out = np.empty((n_pk, IMA4_SAMPLES), np.int16)
+    for t in range(IMA4_SAMPLES):
+        v = nib[:, t].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        diff += np.where(v & 1, step >> 2, 0)
+        diff += np.where(v & 2, step >> 1, 0)
+        diff += np.where(v & 4, step, 0)
+        diff = np.where(v & 8, -diff, diff)
+        pred = np.clip(pred + diff, -32768, 32767)
+        out[:, t] = pred
+        index = np.clip(index + _IMA_INDEX[v & 7], 0, 88)
+    # packets alternate channels: ch0 pk, ch1 pk, ... per 64-frame group
+    grp = out.reshape(n_pk // channels, channels, IMA4_SAMPLES)
+    return grp.transpose(0, 2, 1).reshape(-1)
+
+
+def ima4_encode(x: np.ndarray) -> bytes:
+    """int16 samples (frames,) or (frames, channels) -> 'ima4' payload
+    bytes (fixture builder; plain Python by design).  The tail packet is
+    padded by repeating the final frame."""
+    if x.ndim == 1:
+        x = x[:, None]
+    frames, channels = x.shape
+    out = bytearray()
+    pred = [0] * channels
+    index = [0] * channels
+    pos = 0
+    while pos < frames:
+        chunk = x[pos : pos + IMA4_SAMPLES]
+        if len(chunk) < IMA4_SAMPLES:
+            pad = np.repeat(chunk[-1:], IMA4_SAMPLES - len(chunk), axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        for ch in range(channels):
+            # re-seed exactly what the preamble can carry so encoder and
+            # decoder predictors stay bit-identical
+            pred[ch] = int(np.int32(np.int16(pred[ch] & 0xFF80)))
+            out += struct.pack(">H", (pred[ch] & 0xFF80) | index[ch])
+            nibs = []
+            for t in range(IMA4_SAMPLES):
+                step = int(_IMA_STEPS[index[ch]])
+                nib, recon = _ima_quantize(int(chunk[t, ch]) - pred[ch], step)
+                pred[ch] = max(-32768, min(32767, pred[ch] + recon))
+                index[ch] = max(0, min(88, index[ch] + int(_IMA_INDEX[nib & 7])))
+                nibs.append(nib)
+            for k in range(0, IMA4_SAMPLES, 2):
+                out.append(nibs[k] | (nibs[k + 1] << 4))
+        pos += IMA4_SAMPLES
+    return bytes(out)

@@ -4,8 +4,9 @@ Implemented from the public specs (Apple AIFF-1.3 / AIFF-C 1989;
 Sun/NeXT .snd header): AIFF ``COMM`` carries channels / frame count /
 bit depth / an 80-bit extended-float sample rate, ``SSND`` the
 big-endian PCM; AIFF-C adds a compression fourcc (``NONE``/``sowt``
-byte order, ``fl32``/``fl64`` floats, ``ulaw``/``alaw`` G.711 — the
-latter decode through ``imgops/g711.py``'s tables).  AU is a 24-byte
+byte order, ``fl32``/``fl64`` floats, ``ulaw``/``alaw`` G.711 via
+``imgops/g711.py``'s tables, ``ima4`` QuickTime IMA ADPCM via
+``imgops/adpcm.py``'s packet decoder).  AU is a 24-byte
 big-endian header + PCM/G.711 payload.  The reference repo has no
 audio support; this feeds ``pipelines/multimodal.py:
 AudioFeatureStage`` with two more fully-decodable containers.
@@ -111,6 +112,10 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int, int]:
 
         dec = ulaw_decode if comp_l == b"ulaw" else alaw_decode
         x = dec(raw).astype(np.float64) / 32768.0
+    elif comp_l == b"ima4":
+        from img2table_ray.imgops.adpcm import ima4_decode
+
+        x = ima4_decode(raw, channels).astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(f"AIFF-C compression {comp!r}")
     return x, rate, channels
@@ -134,6 +139,11 @@ def encode_aiff(x: np.ndarray, rate: int, comp: bytes = b"NONE") -> bytes:
         enc = ulaw_encode if comp == b"ulaw" else alaw_encode
         payload = enc(x.reshape(-1))
         form, extra, bits = b"AIFC", comp + b"\x00", 8
+    elif comp == b"ima4":
+        from img2table_ray.imgops.adpcm import ima4_encode
+
+        payload = ima4_encode(x)
+        form, extra, bits = b"AIFC", comp + b"\x00", 16
     else:
         raise ValueError(comp)
     comm = (struct.pack(">hIh", channels, frames, bits)

@@ -183,3 +183,205 @@ def synth_mp4(seed: int) -> bytes:
     moov = box(b"moov", mvhd + trak)
     mdat = box(b"mdat", b"")
     return ftyp + mdat + moov
+
+
+# --- sample extraction (round 5): MJPEG tracks decode for REAL -------------
+#
+# ISO/IEC 14496-12 sample tables fully locate every video sample:
+# stsc maps samples to chunks, stco/co64 gives chunk file offsets,
+# stsz gives per-sample byte sizes; samples are contiguous within a
+# chunk.  For 'jpeg'/'mjpa'/'MJPG'-coded tracks each sample is one
+# JPEG image, which the in-repo T.81 decoder (imgops/jpeg.py) handles —
+# no external codec needed.  Inter-frame codecs still stop at
+# parse_mp4's metadata walk.
+
+MJPEG_FOURCC = (b"jpeg", b"mjpa", b"MJPG", b"mjpb", b"dmb1", b"AVDJ")
+
+
+def mp4_samples(data: bytes):
+    """-> (fps, n_samples, get(i) -> sample bytes, codec_fourcc) for the
+    first video track.  Raises ValueError when there is no video track
+    or the sample tables are unusable."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for t, b, e in _boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if mdhd is None or minf is None:
+            continue
+        hb = mdhd[0]
+        mts = int.from_bytes(
+            data[hb + (20 if data[hb] == 1 else 12) :][:4], "big")
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find(data, stbl[0], stbl[1], b"stsd")
+        codec = b"????"
+        if stsd is not None and int.from_bytes(
+                data[stsd[0] + 4 : stsd[0] + 8], "big") >= 1:
+            codec = data[stsd[0] + 12 : stsd[0] + 16]
+        # sample sizes
+        stsz = _find(data, stbl[0], stbl[1], b"stsz")
+        if stsz is None:
+            raise ValueError("no stsz box")
+        sb = stsz[0]
+        fixed = int.from_bytes(data[sb + 4 : sb + 8], "big")
+        n = int.from_bytes(data[sb + 8 : sb + 12], "big")
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            sizes = [int.from_bytes(
+                data[sb + 12 + 4 * i : sb + 16 + 4 * i], "big")
+                for i in range(n)]
+        # chunk offsets
+        stco = _find(data, stbl[0], stbl[1], b"stco")
+        wide = False
+        if stco is None:
+            stco = _find(data, stbl[0], stbl[1], b"co64")
+            wide = True
+        if stco is None:
+            raise ValueError("no stco/co64 box")
+        cb = stco[0]
+        n_chunks = int.from_bytes(data[cb + 4 : cb + 8], "big")
+        step = 8 if wide else 4
+        chunk_offs = [int.from_bytes(
+            data[cb + 8 + step * i : cb + 8 + step * (i + 1)], "big")
+            for i in range(n_chunks)]
+        # samples per chunk (stsc runs extend to the next first_chunk)
+        stsc = _find(data, stbl[0], stbl[1], b"stsc")
+        if stsc is None:
+            raise ValueError("no stsc box")
+        kb = stsc[0]
+        n_ent = int.from_bytes(data[kb + 4 : kb + 8], "big")
+        runs = [(int.from_bytes(data[kb + 8 + 12 * i : kb + 12 + 12 * i],
+                                "big"),
+                 int.from_bytes(data[kb + 12 + 12 * i : kb + 16 + 12 * i],
+                                "big")) for i in range(n_ent)]
+        spc = [0] * n_chunks
+        for i, (first, per) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            for c in range(first - 1, min(last, n_chunks)):
+                spc[c] = per
+        # walk chunks -> absolute (offset, size) per sample
+        locs: "list[tuple[int, int]]" = []
+        si = 0
+        for c in range(n_chunks):
+            off = chunk_offs[c]
+            for _ in range(spc[c]):
+                if si >= n:
+                    break
+                locs.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if len(locs) != n or n == 0:
+            raise ValueError("inconsistent sample tables")
+        # fps from stts against the media timescale
+        fps = 0.0
+        stts = _find(data, stbl[0], stbl[1], b"stts")
+        if stts is not None and mts:
+            tb = stts[0]
+            ne = int.from_bytes(data[tb + 4 : tb + 8], "big")
+            tot_n = tot_t = 0
+            for i in range(ne):
+                cnt = int.from_bytes(
+                    data[tb + 8 + 8 * i : tb + 12 + 8 * i], "big")
+                dt = int.from_bytes(
+                    data[tb + 12 + 8 * i : tb + 16 + 8 * i], "big")
+                tot_n += cnt
+                tot_t += cnt * dt
+            if tot_t:
+                fps = tot_n * mts / tot_t
+        def get(i: int) -> bytes:
+            off, sz = locs[i]
+            if off + sz > len(data):
+                raise ValueError("sample outside file")
+            return data[off : off + sz]
+
+        return fps or 25.0, n, get, codec
+    raise ValueError("no video track in moov")
+
+
+def synth_mp4_mjpeg(seed: int) -> bytes:
+    """ISO-BMFF fixture with a REAL MJPEG video track: mdat carries
+    JPEG frames from the in-repo encoder; moov's stsz/stsc/stco locate
+    them (two chunks, to exercise the stsc run expansion)."""
+    import numpy as np
+
+    from img2table_ray.imgops.jpeg import encode_jpeg
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(btype, bytes([ver, 0, 0, 0]) + body)
+
+    fps = 10 + seed % 5
+    n_frames = 5 + seed % 4
+    w, h = 48 + 16 * (seed % 3), 32 + 16 * (seed % 2)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_frames):
+        img = np.empty((h, w, 3), np.uint8)
+        img[..., 0] = ((xx * (3 + seed % 5) + i * 17) % 256).astype(np.uint8)
+        img[..., 1] = ((yy * (2 + seed % 7) + i * 29) % 256).astype(np.uint8)
+        img[..., 2] = ((xx + yy + i * 41 + seed) % 256).astype(np.uint8)
+        frames.append(encode_jpeg(img, quality=85))
+
+    ftyp = box(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
+    mdat = box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8  # first sample's absolute offset
+    # two chunks: first ceil(n/2) samples, then the rest
+    n1 = (n_frames + 1) // 2
+    off2 = base + sum(len(f) for f in frames[:n1])
+
+    ts = fps * 1000
+    dur = n_frames * 1000
+    mvhd = full(b"mvhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", ts, dur) + struct.pack(">i", 0x00010000)
+                + struct.pack(">h", 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0,
+                              0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                + b"\x00" * 16
+                + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0,
+                              0, 0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, ts, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"VideoHandler\x00")
+    jpeg_entry = box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 16 + struct.pack(">HH", w, h)
+                     + struct.pack(">II", 0x00480000, 0x00480000)
+                     + struct.pack(">I", 0) + struct.pack(">H", 1)
+                     + b"\x00" * 32 + struct.pack(">Hh", 0x18, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + jpeg_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n_frames, 1000))
+    stsc = full(b"stsc", struct.pack(">I", 2)
+                + struct.pack(">III", 1, n1, 1)
+                + struct.pack(">III", 2, n_frames - n1, 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, n_frames)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = full(b"stco", struct.pack(">I", 2)
+                + struct.pack(">II", base, off2))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + box(b"url ", bytes([0, 0, 0, 1]))))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

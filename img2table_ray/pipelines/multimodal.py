@@ -203,10 +203,25 @@ class AudioFeatureStage:
             x = x[: frames * channels]
             return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
         if data[:4] == b"OggS":
-            # Ogg Vorbis/Opus: granule-position walk (imgops/ogg.py),
-            # same metadata_only contract as MP3
-            from img2table_ray.imgops.ogg import parse_ogg
+            # Ogg-FLAC decodes for REAL (reassemble the native stream,
+            # imgops/ogg.py:ogg_flac_to_native -> imgops/flac.py);
+            # Vorbis/Opus stay on the granule-position metadata walk
+            from img2table_ray.imgops.ogg import (ogg_flac_to_native,
+                                                  parse_ogg)
 
+            try:
+                native = ogg_flac_to_native(data)
+            except ValueError:
+                native = None
+            if native is not None:
+                from img2table_ray.imgops.flac import decode_flac
+
+                s, rate, channels, bits = decode_flac(native)
+                frames = len(s) // channels
+                if frames == 0:
+                    return 0.0, rate, 0.0
+                x = s.astype(np.float64) / float(1 << (bits - 1))
+                return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
             m = parse_ogg(data)
             return m["duration_s"], m["sample_rate"], None
         if not self._fake:
@@ -474,11 +489,29 @@ class VideoFrameSampleStage:
                 lumas.append(round(float(y.mean()), 6))
             return round(duration, 3), round(fps, 3), n_frames, lumas
         if len(data) > 8 and data[4:8] == b"ftyp":
-            # ISO-BMFF (MP4/MOV): container walk -> duration/fps/frames,
-            # lumas=None (metadata_only — inter-frame codecs need a
-            # decoder; see imgops/isobmff.py)
-            from img2table_ray.imgops.isobmff import parse_mp4
+            # ISO-BMFF (MP4/MOV): MJPEG-coded tracks decode for REAL
+            # (sample tables locate each JPEG, imgops/isobmff.py:
+            # mp4_samples -> in-repo T.81 decoder); inter-frame codecs
+            # fall back to the parse_mp4 metadata walk
+            from img2table_ray.imgops.isobmff import (
+                MJPEG_FOURCC, mp4_samples, parse_mp4)
+            from img2table_ray.imgops.jpeg import decode_jpeg
 
+            try:
+                fps, n_frames, get, codec = mp4_samples(data)
+            except ValueError:
+                codec = None
+            if codec in MJPEG_FOURCC:
+                idx = np.unique(np.linspace(
+                    0, n_frames - 1,
+                    min(self._n, n_frames)).round().astype(int))
+                lumas = []
+                for i in idx:
+                    img = decode_jpeg(get(int(i))).astype(np.float64)
+                    y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                         + 0.114 * img[..., 2]) / 255.0
+                    lumas.append(round(float(y.mean()), 6))
+                return round(n_frames / fps, 3), float(fps), n_frames, lumas
             m = parse_mp4(data)
             return m["duration_s"], m["fps"], m["n_frames"], None
         if data[:4] == b"\x1a\x45\xdf\xa3":
@@ -613,10 +646,11 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
                     DEFAULT_ROWS) // 2
     def payload(i: int) -> bytes:
         kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4", "WEBM")[i % 6]
-        if kind == "MP4":  # ISO-BMFF metadata_only row
-            from img2table_ray.imgops.isobmff import synth_mp4
+        if kind == "MP4":  # ISO-BMFF: MJPEG (real decode) / avc1 metadata
+            from img2table_ray.imgops.isobmff import (synth_mp4,
+                                                      synth_mp4_mjpeg)
 
-            return synth_mp4(i)
+            return synth_mp4_mjpeg(i) if (i // 6) % 2 else synth_mp4(i)
         if kind == "WEBM":  # Matroska metadata_only row
             from img2table_ray.imgops.matroska import synth_webm
 
@@ -692,14 +726,21 @@ def synth_wav(seed: int) -> bytes:
         from img2table_ray.imgops.mpegaudio import synth_mp3
 
         return synth_mp3(seed)
-    if seed % 16 in (6, 14):  # Ogg Vorbis/Opus metadata fixture
+    if seed % 16 == 6:  # Ogg: FLAC (real decode) / Vorbis metadata
+        from img2table_ray.imgops.ogg import synth_ogg, synth_ogg_flac
+
+        if (seed // 16) % 2:
+            return synth_ogg_flac(samples, rate, seed)
+        return synth_ogg(seed, "vorbis")
+    if seed % 16 == 14:  # Ogg Opus metadata fixture
         from img2table_ray.imgops.ogg import synth_ogg
 
-        return synth_ogg(seed, "vorbis" if seed % 16 == 6 else "opus")
+        return synth_ogg(seed, "opus")
     if seed % 16 == 4:  # AIFF / AIFF-C (comp rotates with the seed)
         from img2table_ray.imgops.aiff import encode_aiff
 
-        comp = (b"NONE", b"sowt", b"ulaw", b"alaw")[(seed // 16) % 4]
+        comp = (b"NONE", b"sowt", b"ulaw", b"alaw",
+                b"ima4")[(seed // 16) % 5]
         return encode_aiff(samples, rate, comp)
     if seed % 16 == 12:  # Sun AU (PCM16-BE / mu-law alternating)
         from img2table_ray.imgops.aiff import encode_au

@@ -276,13 +276,18 @@ def test_audio_features_query(ray_session):
 
     df = audio_features("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # WAV/FLAC rows fully decode; MP3 (seed%16==10) and Ogg Vorbis/Opus
-    # (seed%16==6/14) rows are the metadata_only paths (container walks)
-    meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus)$")
+    # WAV/FLAC/AIFF/AU rows fully decode, as do Ogg-FLAC .ogg rows
+    # (seed%16==6 with odd seed//16); MP3 (seed%16==10), Ogg Vorbis
+    # (even seed//16) and Opus (seed%16==14) rows are the
+    # metadata_only paths (container walks)
+    oggflac = df["url"].str.endswith(".ogg") & (
+        (df.index.to_series() // 16) % 2 == 1)
+    meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus)$") & ~oggflac
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
-    assert meta.sum() == 6
+    assert meta.sum() == 5 and oggflac.sum() == 1
     assert df.loc[meta, "rms"].isna().all()
+    assert df.loc[oggflac, "rms"].notna().all()
     assert (df["duration_s"] > 0.2).all()
     assert df.loc[~meta, "sample_rate"].isin([8000, 16000, 24000]).all()
     mp3 = df["url"].str.endswith(".mp3")
@@ -462,6 +467,23 @@ def test_audio_aiff_au_decode_real():
     ref_u = ulaw_decode(ulaw_encode(x)).astype(np.float64) / 32768.0
     assert np.array_equal(s_u, ref_u)
 
+    # AIFF-C ima4: QuickTime IMA packets; encode->decode stays within
+    # ADPCM quantization error and matches the packet codec verbatim
+    from img2table_ray.imgops.adpcm import ima4_decode, ima4_encode
+
+    smooth = np.clip(np.round(
+        12000 * np.sin(np.arange(4001) * 0.05)), -32768, 32767).astype(
+        np.int16)
+    s_i, rate_i, ch_i = decode_aiff(encode_aiff(smooth, 22050, b"ima4"))
+    assert (rate_i, ch_i) == (22050, 1)
+    ref_i = ima4_decode(ima4_encode(smooth), 1).astype(np.float64) / 32768.0
+    assert np.array_equal(s_i, ref_i)
+    got_i = np.round(s_i[: len(smooth)] * 32768.0)
+    rms_err = float(np.sqrt(np.mean((got_i - smooth) ** 2)))
+    assert rms_err < 150.0  # ~1% of amplitude: quantization, not garbage
+    st_i = ima4_decode(ima4_encode(st), 2).reshape(-1, 2)
+    assert st_i.shape[0] >= st.shape[0]  # tail packet padding
+
     # AU: PCM16-BE bit-exact, mu-law table-exact, header fields honored
     s3, rate3, ch3 = decode_au(encode_au(x, 22050, enc=3))
     assert (rate3, ch3) == (22050, 1)
@@ -475,7 +497,7 @@ def test_audio_aiff_au_decode_real():
     with pytest.raises(ValueError):
         decode_aiff(b"FORM\x00\x00\x00\x04AIFF")  # no COMM/SSND
     with pytest.raises(NotImplementedError):
-        blob = encode_aiff(x, 8000, b"sowt").replace(b"sowt", b"ima4")
+        blob = encode_aiff(x, 8000, b"sowt").replace(b"sowt", b"MAC3")
         decode_aiff(blob)
     with pytest.raises(ValueError):
         decode_au(b".snd" + b"\x00" * 8)
@@ -502,6 +524,67 @@ def test_audio_aiff_au_decode_real():
         ref = samples.astype(np.float64) / 32768.0
         assert sr == rate and abs(d - n / rate) < 1e-9, seed
         assert abs(rms - float(np.sqrt(np.mean(ref * ref)))) < tol, seed
+
+
+def test_audio_ogg_flac_decode_real():
+    """FLAC-to-Ogg mapping (round 5, imgops/ogg.py): the BOS-prefixed
+    native stream reassembles bit-exactly through 255-lacing packet
+    continuation across pages, header packets are skipped, parse_ogg
+    reports the FLAC STREAMINFO rate/channels, non-FLAC Ogg raises
+    (falling back to the metadata walk), and the audio stage decodes a
+    synth Ogg-FLAC row to the exact PCM-reference RMS (status=ok)."""
+    import numpy as np
+    import pytest
+
+    from img2table_ray.imgops.flac import decode_flac
+    from img2table_ray.imgops.ogg import (
+        _packets, ogg_flac_to_native, parse_ogg, synth_ogg,
+        synth_ogg_flac)
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, synth_wav)
+
+    rng = np.random.RandomState(9)
+    x = np.clip(np.round(9000 * np.sin(np.arange(6000) * 0.07)
+                         + rng.randn(6000) * 250),
+                -32768, 32767).astype(np.int16)
+    blob = synth_ogg_flac(x, 16000, 5)
+
+    # the audio packet is split across pages: at least one continued page
+    pkts = list(_packets(blob))
+    assert len(pkts) == 3  # BOS + comment + one reassembled audio packet
+    assert blob.count(b"OggS") >= 4  # ... carried by >= 2 audio pages
+
+    s, rate, ch, bits = decode_flac(ogg_flac_to_native(blob))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert np.array_equal(s, x.astype(np.int32))  # lossless through Ogg
+
+    meta = parse_ogg(blob)
+    assert meta["codec"] == "flac" and meta["sample_rate"] == 16000
+    assert meta["channels"] == 1
+
+    with pytest.raises(ValueError):
+        ogg_flac_to_native(synth_ogg(6, "vorbis"))  # not Ogg-FLAC
+    with pytest.raises(ValueError):
+        ogg_flac_to_native(b"not ogg at all")
+
+    # stage end-to-end: seed 22 -> Ogg-FLAC (seed%16==6, seed//16 odd)
+    stg = AudioFeatureStage()
+    blob22 = synth_wav(22)
+    assert blob22[:4] == b"OggS"
+    d, sr, rms = stg._decode(blob22)
+    rate22 = int(8000 * (1 + 22 % 3))
+    n = rate22 // 4 + (22 % 7) * 100
+    t = np.arange(n) / rate22
+    rng2 = np.random.RandomState(22)
+    xx = (0.5 * np.sin(2 * np.pi * (220 + 20 * (22 % 9)) * t)
+          + 0.05 * rng2.randn(n))
+    samples = np.clip(np.round(xx * 32767), -32768, 32767).astype(np.int16)
+    ref = samples.astype(np.float64) / 32768.0
+    assert sr == rate22 and abs(d - n / rate22) < 1e-9
+    assert abs(rms - float(np.sqrt(np.mean(ref * ref)))) < 1e-12
+    # seed 6 stays a Vorbis metadata row
+    d6, sr6, rms6 = stg._decode(synth_wav(6))
+    assert rms6 is None and sr6 > 0
 
 
 def test_video_gif_animation_real():
@@ -644,6 +727,54 @@ def test_container_metadata_walks():
     del np
 
 
+def test_video_mp4_mjpeg_decode_real():
+    """MP4/MOV MJPEG tracks decode for REAL (round 5): mp4_samples
+    locates every JPEG via stsz/stsc/stco (two chunks — the stsc run
+    expansion is exercised), each extracted sample is BYTE-IDENTICAL to
+    the encoder's output for the analytic frame content, the stage
+    reports lumas (status=ok) matching a direct decode, and avc1 tracks
+    still fall back to the metadata walk."""
+    import numpy as np
+
+    from img2table_ray.imgops.isobmff import (
+        mp4_samples, synth_mp4, synth_mp4_mjpeg)
+    from img2table_ray.imgops.jpeg import decode_jpeg, encode_jpeg
+    from img2table_ray.pipelines.multimodal import (
+        VideoFrameSampleStage, video_frames)
+
+    seed = 3
+    blob = synth_mp4_mjpeg(seed)
+    fps, n, get, codec = mp4_samples(blob)
+    assert codec == b"jpeg" and fps == 10 + seed % 5
+    assert n == 5 + seed % 4
+    w, h = 48 + 16 * (seed % 3), 32 + 16 * (seed % 2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):  # spans both stco chunks
+        img = np.empty((h, w, 3), np.uint8)
+        img[..., 0] = ((xx * (3 + seed % 5) + i * 17) % 256).astype(np.uint8)
+        img[..., 1] = ((yy * (2 + seed % 7) + i * 29) % 256).astype(np.uint8)
+        img[..., 2] = ((xx + yy + i * 41 + seed) % 256).astype(np.uint8)
+        assert get(i) == encode_jpeg(img, quality=85), i
+        assert decode_jpeg(get(i)).shape == (h, w, 3)
+
+    st = VideoFrameSampleStage(n_samples=3)
+    d, f, nf, lumas = st._decode(blob)
+    assert nf == n and f == float(fps) and d == round(n / fps, 3)
+    assert len(lumas) == 3
+    img0 = decode_jpeg(get(0)).astype(np.float64)
+    y0 = (0.299 * img0[..., 0] + 0.587 * img0[..., 1]
+          + 0.114 * img0[..., 2]) / 255.0
+    assert lumas[0] == round(float(y0.mean()), 6)
+
+    # avc1 fixture stays metadata_only; corpus rotation hits both
+    assert st._decode(synth_mp4(seed))[3] is None
+    tab = video_frames("/root/testdata/sf0.001").take_all()
+    mp4_rows = [r for r in tab if r["url"].endswith(".mp4")]
+    assert any(r["status"] == "ok" and len(r["frame_lumas"])
+               for r in mp4_rows)
+    assert any(r["status"] == "metadata_only" for r in mp4_rows)
+
+
 def test_video_rle8_decode_real():
     """MS-RLE8 AVI frames (round 5): encode->decode round-trips exactly,
     the spec's escape modes (delta, absolute, early EOL/EOD) decode per
@@ -687,12 +818,18 @@ def test_video_frames_query(ray_session):
 
     df = video_frames("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # AVI/GIF rows decode sampled frames; MP4 (i%6==4) and WebM
-    # (i%6==5) rows are the metadata_only paths (container walks)
-    meta = df["url"].str.endswith(".mp4") | df["url"].str.endswith(".webm")
+    # AVI/GIF rows decode sampled frames, as do MJPEG-coded MP4 rows
+    # (i%6==4 with odd i//6); avc1 MP4 and WebM rows are the
+    # metadata_only paths (container walks)
+    mp4_mjpeg = df["url"].str.endswith(".mp4") & (
+        (df.index.to_series() // 6) % 2 == 1)
+    meta = (df["url"].str.endswith(".mp4")
+            | df["url"].str.endswith(".webm")) & ~mp4_mjpeg
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
-    assert meta.sum() == 10 and df["url"].str.endswith(".gif").sum() == 5
+    assert meta.sum() == 8 and mp4_mjpeg.sum() == 2
+    assert df["url"].str.endswith(".gif").sum() == 5
+    assert df.loc[mp4_mjpeg, "frame_lumas"].map(len).ge(1).all()
     assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
     assert df.loc[~meta, "frame_lumas"].map(len).ge(1).all()
     assert df.loc[meta, "frame_lumas"].map(len).eq(0).all()
