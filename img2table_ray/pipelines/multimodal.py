@@ -515,10 +515,31 @@ class VideoFrameSampleStage:
             m = parse_mp4(data)
             return m["duration_s"], m["fps"], m["n_frames"], None
         if data[:4] == b"\x1a\x45\xdf\xa3":
-            # Matroska/WebM: EBML walk (imgops/matroska.py), same
-            # metadata_only contract as ISO-BMFF
-            from img2table_ray.imgops.matroska import parse_webm
+            # Matroska/WebM: V_MJPEG tracks decode for REAL (block walk
+            # incl. Xiph/EBML/fixed lacing, imgops/matroska.py:
+            # mkv_samples -> in-repo JPEG decoder); inter-frame codecs
+            # fall back to the parse_webm metadata walk
+            from img2table_ray.imgops.matroska import (mkv_samples,
+                                                       parse_webm)
 
+            try:
+                fps, n_frames, get, codec = mkv_samples(data)
+            except ValueError:
+                codec = None
+            if codec == "V_MJPEG":
+                from img2table_ray.imgops.jpeg import decode_jpeg
+
+                idx = np.unique(np.linspace(
+                    0, n_frames - 1,
+                    min(self._n, n_frames)).round().astype(int))
+                lumas = []
+                for i in idx:
+                    img = decode_jpeg(get(int(i))).astype(np.float64)
+                    y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                         + 0.114 * img[..., 2]) / 255.0
+                    lumas.append(round(float(y.mean()), 6))
+                return (round(n_frames / fps, 3), round(fps, 3),
+                        n_frames, lumas)
             m = parse_webm(data)
             return m["duration_s"], m["fps"], m["n_frames"], None
         if not self._fake:
@@ -651,10 +672,11 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
                                                       synth_mp4_mjpeg)
 
             return synth_mp4_mjpeg(i) if (i // 6) % 2 else synth_mp4(i)
-        if kind == "WEBM":  # Matroska metadata_only row
-            from img2table_ray.imgops.matroska import synth_webm
+        if kind == "WEBM":  # Matroska: MJPEG (real decode) / VP9 metadata
+            from img2table_ray.imgops.matroska import (synth_webm,
+                                                       synth_webm_mjpeg)
 
-            return synth_webm(i)
+            return synth_webm_mjpeg(i) if (i // 6) % 2 else synth_webm(i)
         if kind == "GIFA":  # animated GIF (real full decode)
             return synth_gif_anim(i)
         return synth_avi(i, kind)

@@ -775,6 +775,59 @@ def test_video_mp4_mjpeg_decode_real():
     assert any(r["status"] == "metadata_only" for r in mp4_rows)
 
 
+def test_video_mkv_mjpeg_decode_real():
+    """Matroska V_MJPEG tracks decode for REAL (round 5): mkv_samples
+    walks Cluster/SimpleBlock headers, every extracted frame is
+    BYTE-IDENTICAL to the encoder's output (the fixture's second
+    cluster packs frames into one Xiph-laced SimpleBlock, so the lacing
+    walk is exercised), EBML and fixed lacing reassemble too, the stage
+    reports lumas (status=ok), and VP9 tracks still fall back to the
+    metadata walk."""
+    import numpy as np
+
+    from img2table_ray.imgops.jpeg import decode_jpeg, encode_jpeg
+    from img2table_ray.imgops.matroska import (
+        _block_frames, mkv_samples, synth_webm, synth_webm_mjpeg)
+    from img2table_ray.pipelines.multimodal import VideoFrameSampleStage
+
+    seed = 2
+    blob = synth_webm_mjpeg(seed)
+    fps, n, get, codec = mkv_samples(blob)
+    assert codec == "V_MJPEG" and n == 6 + seed % 4
+    assert abs(fps - (10 + seed % 5)) < 1e-6
+    w, h = 48 + 16 * (seed % 3), 32 + 16 * (seed % 2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):  # spans the unlaced AND the Xiph-laced cluster
+        img = np.empty((h, w, 3), np.uint8)
+        img[..., 0] = ((xx * (2 + seed % 5) + i * 13) % 256).astype(np.uint8)
+        img[..., 1] = ((yy * (3 + seed % 4) + i * 31) % 256).astype(np.uint8)
+        img[..., 2] = ((xx + 2 * yy + i * 43 + seed) % 256).astype(np.uint8)
+        assert get(i) == encode_jpeg(img, quality=85), i
+        assert decode_jpeg(get(i)).shape == (h, w, 3)
+
+    # fixed and EBML lacing paths over synthetic block bodies
+    fr = [b"aaaa", b"bbbb", b"cccc"]
+    fixed = b"\x81\x00\x00" + bytes([0x04, 2]) + b"".join(fr)
+    spans = _block_frames(fixed, 0, len(fixed), 1)
+    assert [fixed[s:t] for s, t in spans] == fr
+    fr2 = [b"a" * 40, b"b" * 44, b"c" * 7]
+    # EBML lacing: first size plain vint, then signed-vint delta (+4)
+    ebml = (b"\x81\x00\x00" + bytes([0x06, 2])
+            + bytes([0x80 | 40]) + bytes([0x80 | (63 + 4)])
+            + b"".join(fr2))
+    spans = _block_frames(ebml, 0, len(ebml), 1)
+    assert [ebml[s:t] for s, t in spans] == fr2
+
+    st = VideoFrameSampleStage(n_samples=3)
+    d, f, nf, lumas = st._decode(blob)
+    assert nf == n and len(lumas) == 3 and all(0 < v < 1 for v in lumas)
+    img0 = decode_jpeg(get(0)).astype(np.float64)
+    y0 = (0.299 * img0[..., 0] + 0.587 * img0[..., 1]
+          + 0.114 * img0[..., 2]) / 255.0
+    assert lumas[0] == round(float(y0.mean()), 6)
+    assert st._decode(synth_webm(seed))[3] is None  # VP9 stays metadata
+
+
 def test_video_rle8_decode_real():
     """MS-RLE8 AVI frames (round 5): encode->decode round-trips exactly,
     the spec's escape modes (delta, absolute, early EOL/EOD) decode per
@@ -818,18 +871,19 @@ def test_video_frames_query(ray_session):
 
     df = video_frames("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # AVI/GIF rows decode sampled frames, as do MJPEG-coded MP4 rows
-    # (i%6==4 with odd i//6); avc1 MP4 and WebM rows are the
-    # metadata_only paths (container walks)
-    mp4_mjpeg = df["url"].str.endswith(".mp4") & (
+    # AVI/GIF rows decode sampled frames, as do MJPEG-coded MP4/WebM
+    # rows (i%6 in (4,5) with odd i//6); avc1 MP4 and VP9 WebM rows
+    # are the metadata_only paths (container walks)
+    mjpeg = (df["url"].str.endswith(".mp4")
+             | df["url"].str.endswith(".webm")) & (
         (df.index.to_series() // 6) % 2 == 1)
     meta = (df["url"].str.endswith(".mp4")
-            | df["url"].str.endswith(".webm")) & ~mp4_mjpeg
+            | df["url"].str.endswith(".webm")) & ~mjpeg
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
-    assert meta.sum() == 8 and mp4_mjpeg.sum() == 2
+    assert meta.sum() == 6 and mjpeg.sum() == 4
     assert df["url"].str.endswith(".gif").sum() == 5
-    assert df.loc[mp4_mjpeg, "frame_lumas"].map(len).ge(1).all()
+    assert df.loc[mjpeg, "frame_lumas"].map(len).ge(1).all()
     assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
     assert df.loc[~meta, "frame_lumas"].map(len).ge(1).all()
     assert df.loc[meta, "frame_lumas"].map(len).eq(0).all()
