@@ -198,10 +198,13 @@ def synth_mp4(seed: int) -> bytes:
 MJPEG_FOURCC = (b"jpeg", b"mjpa", b"MJPG", b"mjpb", b"dmb1", b"AVDJ")
 
 
-def mp4_samples(data: bytes):
-    """-> (fps, n_samples, get(i) -> sample bytes, codec_fourcc) for the
-    first video track.  Raises ValueError when there is no video track
-    or the sample tables are unusable."""
+def _track_tables(data: bytes, kind: bytes):
+    """Locate the first ``kind`` (b'vide'/b'soun') track's samples.
+
+    -> dict with ``locs`` [(abs_offset, size)], ``codec`` fourcc,
+    ``entry`` (stsd sample-entry body start), ``mts`` media timescale,
+    ``mdur`` media duration (ticks), ``rate`` samples-or-frames/s from
+    stts.  Raises ValueError when no such track / unusable tables."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF stream")
     moov = _find(data, 0, len(data), b"moov")
@@ -214,23 +217,29 @@ def mp4_samples(data: bytes):
         if mdia is None:
             continue
         hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
-        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != kind:
             continue
         mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
         minf = _find(data, mdia[0], mdia[1], b"minf")
         if mdhd is None or minf is None:
             continue
         hb = mdhd[0]
+        wide_t = data[hb] == 1
         mts = int.from_bytes(
-            data[hb + (20 if data[hb] == 1 else 12) :][:4], "big")
+            data[hb + (20 if wide_t else 12) :][:4], "big")
+        mdur = int.from_bytes(
+            data[hb + 24 : hb + 32] if wide_t else data[hb + 16 : hb + 20],
+            "big")
         stbl = _find(data, minf[0], minf[1], b"stbl")
         if stbl is None:
             continue
         stsd = _find(data, stbl[0], stbl[1], b"stsd")
         codec = b"????"
+        entry = None
         if stsd is not None and int.from_bytes(
                 data[stsd[0] + 4 : stsd[0] + 8], "big") >= 1:
             codec = data[stsd[0] + 12 : stsd[0] + 16]
+            entry = stsd[0] + 16  # sample-entry body (after size+type)
         # sample sizes
         stsz = _find(data, stbl[0], stbl[1], b"stsz")
         if stsz is None:
@@ -286,8 +295,8 @@ def mp4_samples(data: bytes):
                 si += 1
         if len(locs) != n or n == 0:
             raise ValueError("inconsistent sample tables")
-        # fps from stts against the media timescale
-        fps = 0.0
+        # samples/s (video: fps) from stts against the media timescale
+        rate = 0.0
         stts = _find(data, stbl[0], stbl[1], b"stts")
         if stts is not None and mts:
             tb = stts[0]
@@ -301,15 +310,57 @@ def mp4_samples(data: bytes):
                 tot_n += cnt
                 tot_t += cnt * dt
             if tot_t:
-                fps = tot_n * mts / tot_t
-        def get(i: int) -> bytes:
-            off, sz = locs[i]
-            if off + sz > len(data):
-                raise ValueError("sample outside file")
-            return data[off : off + sz]
+                rate = tot_n * mts / tot_t
+        return {"locs": locs, "codec": codec, "entry": entry,
+                "mts": mts, "mdur": mdur, "rate": rate}
+    raise ValueError(f"no {kind.decode('ascii', 'replace')} track in moov")
 
-        return fps or 25.0, n, get, codec
-    raise ValueError("no video track in moov")
+
+def mp4_samples(data: bytes):
+    """-> (fps, n_samples, get(i) -> sample bytes, codec_fourcc) for the
+    first video track.  Raises ValueError when there is no video track
+    or the sample tables are unusable."""
+    t = _track_tables(data, b"vide")
+    locs = t["locs"]
+
+    def get(i: int) -> bytes:
+        off, sz = locs[i]
+        if off + sz > len(data):
+            raise ValueError("sample outside file")
+        return data[off : off + sz]
+
+    return t["rate"] or 25.0, len(locs), get, t["codec"]
+
+
+# MOV/ISO-BMFF audio codecs decodable without a codec library: raw PCM
+# byte orders and G.711.  'mp4a' (AAC) stays on the metadata path.
+PCM_AUDIO_FOURCC = (b"twos", b"sowt", b"raw ", b"ulaw", b"alaw",
+                    b"fl32", b"fl64", b"in24", b"in32")
+
+
+def mp4_audio(data: bytes):
+    """-> {codec, sample_rate, channels, bits, duration_s, payload} for
+    the first audio track; ``payload`` is the concatenated sample bytes
+    for PCM/G.711 codecs and None for codec-requiring ones (AAC...)."""
+    t = _track_tables(data, b"soun")
+    eb = t["entry"]
+    channels = bits = 0
+    rate = 0
+    if eb is not None:
+        channels = int.from_bytes(data[eb + 16 : eb + 18], "big")
+        bits = int.from_bytes(data[eb + 18 : eb + 20], "big")
+        rate = int.from_bytes(data[eb + 24 : eb + 26], "big")  # 16.16 int
+    if not rate:
+        rate = t["mts"]
+    duration = round(t["mdur"] / t["mts"], 3) if t["mts"] else None
+    payload = None
+    if t["codec"] in PCM_AUDIO_FOURCC:
+        payload = b"".join(
+            data[o : o + s] for o, s in t["locs"]
+            if o + s <= len(data))
+    return {"codec": t["codec"], "sample_rate": rate,
+            "channels": max(channels, 1), "bits": bits,
+            "duration_s": duration, "payload": payload}
 
 
 def synth_mp4_mjpeg(seed: int) -> bytes:
@@ -384,4 +435,128 @@ def synth_mp4_mjpeg(seed: int) -> bytes:
     mdia = box(b"mdia", mdhd + hdlr + minf)
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mov_audio_boxes(codec: bytes, rate: int, channels: int, bits: int,
+                     n_frames: int, chunks: "list[bytes]",
+                     base: int, mdur: "int | None" = None) -> bytes:
+    """moov box for one audio track whose sample data sits at ``base``
+    (each stsz sample = one PCM frame; one stsc run per chunk size)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype: bytes, body: bytes, ver: int = 0) -> bytes:
+        return box(btype, bytes([ver, 0, 0, 0]) + body)
+
+    bpf = max(1, bits // 8) * channels  # bytes per PCM frame
+    entry = box(codec, b"\x00" * 6 + struct.pack(">H", 1)
+                + struct.pack(">HHI", 0, 0, 0)
+                + struct.pack(">HHHH", channels, bits, 0, 0)
+                + struct.pack(">I", rate << 16))
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n_frames, 1))
+    spc = [len(c) // bpf for c in chunks]
+    stsc_runs = b""
+    n_runs = 0
+    prev = None
+    for ci, per in enumerate(spc):
+        if per != prev:
+            stsc_runs += struct.pack(">III", ci + 1, per, 1)
+            n_runs += 1
+            prev = per
+    stsc = full(b"stsc", struct.pack(">I", n_runs) + stsc_runs)
+    stsz = full(b"stsz", struct.pack(">II", bpf, n_frames))
+    offs = []
+    off = base
+    for c in chunks:
+        offs.append(off)
+        off += len(c)
+    stco = full(b"stco", struct.pack(">I", len(chunks))
+                + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = full(b"smhd", struct.pack(">HH", 0, 0))
+    if mdur is None:
+        mdur = n_frames
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + box(b"url ", bytes([0, 0, 0, 1]))))
+    minf = box(b"minf", smhd + dinf + stbl)
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, rate, mdur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"soun" + b"\x00" * 12
+                + b"SoundHandler\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, mdur)
+                + b"\x00" * 16
+                + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0,
+                              0, 0x40000000) + struct.pack(">II", 0, 0))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", rate, mdur)
+                + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+                + b"\x00" * 10
+                + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0,
+                              0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    return box(b"moov", mvhd + trak)
+
+
+def synth_mov_pcm(seed: int, samples, rate: int,
+                  codec: bytes = b"twos") -> bytes:
+    """MOV/ISO-BMFF fixture with a REAL PCM ('twos' big-endian /
+    'sowt' little-endian int16) or G.711 ('ulaw'/'alaw') audio track,
+    sample data split over two chunks."""
+    import numpy as np
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    x = np.asarray(samples, np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if codec == b"twos":
+        payload, bits = x.reshape(-1).astype(">i2").tobytes(), 16
+    elif codec == b"sowt":
+        payload, bits = x.reshape(-1).astype("<i2").tobytes(), 16
+    elif codec in (b"ulaw", b"alaw"):
+        from img2table_ray.imgops.g711 import alaw_encode, ulaw_encode
+
+        enc = ulaw_encode if codec == b"ulaw" else alaw_encode
+        payload, bits = enc(x.reshape(-1)), 8
+    else:
+        raise ValueError(codec)
+    n_frames = x.shape[0]
+    bpf = (bits // 8) * channels
+    cut = (n_frames // 2) * bpf
+    chunks = [payload[:cut], payload[cut:]]
+    ftyp = box(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
+    mdat = box(b"mdat", payload)
+    base = len(ftyp) + 8
+    moov = _mov_audio_boxes(codec, rate, channels, bits, n_frames,
+                            chunks, base)
+    return ftyp + mdat + moov
+
+
+def synth_m4a(seed: int) -> bytes:
+    """ISO-BMFF audio METADATA fixture: an 'mp4a' (AAC) track whose
+    headers carry real duration/rate/channels but whose payload needs a
+    codec — the audio stage's metadata_only path for .m4a rows."""
+    import struct as _s
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _s.pack(">I", len(body) + 8) + btype + body
+
+    rate = int(8000 * (1 + seed % 3))
+    n_samples = rate // 4 + (seed % 7) * 100
+    channels = 1 + seed % 2
+    # 64 placeholder "AAC frames" in the table; the real duration lives
+    # in mdhd (n_samples ticks at the rate timescale)
+    bpf = 2 * channels
+    payload = b"\x00" * (64 * bpf)
+    ftyp = box(b"ftyp", b"M4A " + _s.pack(">I", 0) + b"M4A mp42")
+    mdat = box(b"mdat", payload)
+    moov = _mov_audio_boxes(b"mp4a", rate, channels, 16, 64,
+                            [payload], len(ftyp) + 8, mdur=n_samples)
     return ftyp + mdat + moov

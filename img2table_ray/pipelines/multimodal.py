@@ -224,6 +224,52 @@ class AudioFeatureStage:
                 return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
             m = parse_ogg(data)
             return m["duration_s"], m["sample_rate"], None
+        if len(data) > 8 and data[4:8] == b"ftyp":
+            # ISO-BMFF audio (.m4a/MOV): PCM and G.711 tracks decode
+            # for REAL via the sample tables (imgops/isobmff.py:
+            # mp4_audio); AAC ('mp4a') stays on the metadata walk
+            from img2table_ray.imgops.isobmff import mp4_audio
+
+            m = mp4_audio(data)
+            raw, bits = m["payload"], m["bits"]
+            rate, channels = m["sample_rate"], m["channels"]
+            if raw is None or not rate:
+                return m["duration_s"], rate or None, None
+            codec = m["codec"]
+            if codec in (b"twos", b"sowt"):
+                if bits == 16:
+                    dt = ">i2" if codec == b"twos" else "<i2"
+                    x = np.frombuffer(raw[: len(raw) & ~1], dt).astype(
+                        np.float64) / 32768.0
+                else:  # 8-bit 'twos' is signed
+                    x = np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+            elif codec == b"raw ":  # Apple 'raw ' = unsigned 8-bit
+                x = (np.frombuffer(raw, np.uint8).astype(np.float64)
+                     - 128.0) / 128.0
+            elif codec in (b"ulaw", b"alaw"):
+                from img2table_ray.imgops.g711 import (alaw_decode,
+                                                       ulaw_decode)
+
+                dec = ulaw_decode if codec == b"ulaw" else alaw_decode
+                x = dec(raw).astype(np.float64) / 32768.0
+            elif codec in (b"fl32", b"fl64"):
+                dt, w = (">f4", 4) if codec == b"fl32" else (">f8", 8)
+                x = np.frombuffer(raw[: len(raw) - len(raw) % w],
+                                  dt).astype(np.float64)
+            elif codec == b"in32":
+                x = np.frombuffer(raw[: len(raw) & ~3], ">i4").astype(
+                    np.float64) / float(1 << 31)
+            else:  # in24: 3-byte big-endian
+                b3 = np.frombuffer(raw[: len(raw) - len(raw) % 3],
+                                   np.uint8).reshape(-1, 3).astype(np.int64)
+                v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+                v = np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(np.float64) / float(1 << 23)
+            frames = len(x) // channels
+            if frames == 0:
+                return 0.0, rate, 0.0
+            x = x[: frames * channels]
+            return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
         if not self._fake:
             raise NotImplementedError(
                 "compressed audio needs a codec (none in this environment); "
@@ -768,6 +814,14 @@ def synth_wav(seed: int) -> bytes:
         from img2table_ray.imgops.aiff import encode_au
 
         return encode_au(samples, rate, enc=3 if (seed // 16) % 2 else 1)
+    if seed % 16 == 8:  # ISO-BMFF audio: m4a metadata / MOV PCM real
+        from img2table_ray.imgops.isobmff import synth_m4a, synth_mov_pcm
+
+        variant = (seed // 16) % 4
+        if variant == 0:
+            return synth_m4a(seed)
+        codec = (b"twos", b"sowt", b"ulaw")[variant - 1]
+        return synth_mov_pcm(seed, samples, rate, codec)
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
@@ -788,8 +842,13 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
         __import__("os").path.normpath(sf_dir)), DEFAULT_ROWS) // 2
     ext = {2: "flac", 4: "aiff", 6: "ogg", 10: "mp3", 12: "au",
            14: "opus"}
-    rows = [{"url": f"https://audio.example/{i:06d}."
-                    f"{ext.get(i % 16, 'wav')}",
+
+    def _ext(i: int) -> str:
+        if i % 16 == 8:  # ISO-BMFF: AAC metadata vs PCM/G.711 real
+            return "m4a" if (i // 16) % 4 == 0 else "mov"
+        return ext.get(i % 16, "wav")
+
+    rows = [{"url": f"https://audio.example/{i:06d}.{_ext(i)}",
              "audio": synth_wav(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(

@@ -276,16 +276,17 @@ def test_audio_features_query(ray_session):
 
     df = audio_features("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # WAV/FLAC/AIFF/AU rows fully decode, as do Ogg-FLAC .ogg rows
-    # (seed%16==6 with odd seed//16); MP3 (seed%16==10), Ogg Vorbis
-    # (even seed//16) and Opus (seed%16==14) rows are the
-    # metadata_only paths (container walks)
+    # WAV/FLAC/AIFF/AU/MOV-PCM rows fully decode, as do Ogg-FLAC .ogg
+    # rows (seed%16==6 with odd seed//16); MP3 (seed%16==10), Ogg
+    # Vorbis (even seed//16), Opus (seed%16==14) and AAC .m4a rows are
+    # the metadata_only paths (container walks)
     oggflac = df["url"].str.endswith(".ogg") & (
         (df.index.to_series() // 16) % 2 == 1)
-    meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus)$") & ~oggflac
+    meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus|m4a)$") & ~oggflac
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
-    assert meta.sum() == 5 and oggflac.sum() == 1
+    assert meta.sum() == 6 and oggflac.sum() == 1
+    assert df["url"].str.endswith(".mov").sum() == 1
     assert df.loc[meta, "rms"].isna().all()
     assert df.loc[oggflac, "rms"].notna().all()
     assert (df["duration_s"] > 0.2).all()
@@ -585,6 +586,62 @@ def test_audio_ogg_flac_decode_real():
     # seed 6 stays a Vorbis metadata row
     d6, sr6, rms6 = stg._decode(synth_wav(6))
     assert rms6 is None and sr6 > 0
+
+
+def test_audio_mov_pcm_decode_real():
+    """ISO-BMFF audio (round 5, imgops/isobmff.py:mp4_audio): MOV PCM
+    ('twos'/'sowt') and G.711 ('ulaw'/'alaw') tracks decode for REAL
+    through the stsz/stsc/stco sample tables (payload reassembled
+    bit-exactly across two chunks), AAC 'mp4a' rows stay metadata_only
+    with real header numbers, and the stage RMS over synth MOV rows
+    equals the PCM reference."""
+    import numpy as np
+
+    from img2table_ray.imgops.g711 import ulaw_decode, ulaw_encode
+    from img2table_ray.imgops.isobmff import (
+        mp4_audio, synth_m4a, synth_mov_pcm)
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, synth_wav)
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(-32768, 32768, 4001).astype(np.int16)
+    stg = AudioFeatureStage()
+
+    # PCM byte orders: payload reassembles bit-exactly over both chunks
+    for codec, dt in ((b"twos", ">i2"), (b"sowt", "<i2")):
+        m = mp4_audio(synth_mov_pcm(1, x, 16000, codec))
+        assert m["codec"] == codec and m["sample_rate"] == 16000
+        assert np.array_equal(np.frombuffer(m["payload"], dt), x)
+        d, sr, rms = stg._decode(synth_mov_pcm(1, x, 16000, codec))
+        ref = x.astype(np.float64) / 32768.0
+        assert sr == 16000 and abs(d - len(x) / 16000) < 1e-9
+        assert abs(rms - float(np.sqrt(np.mean(ref * ref)))) < 1e-12
+
+    # G.711 in MOV: equals the shared table decoder
+    d, sr, rms = stg._decode(synth_mov_pcm(1, x, 8000, b"ulaw"))
+    ref_u = ulaw_decode(ulaw_encode(x)).astype(np.float64) / 32768.0
+    assert abs(rms - float(np.sqrt(np.mean(ref_u * ref_u)))) < 1e-12
+
+    # AAC metadata row: duration/rate from the headers, rms absent
+    m = mp4_audio(synth_m4a(3))
+    assert m["codec"] == b"mp4a" and m["payload"] is None
+    d, sr, rms = stg._decode(synth_m4a(3))
+    assert rms is None and sr == 8000 and d > 0.2
+
+    # corpus rotation: seed 8 -> .m4a metadata, seed 24 -> MOV twos ok
+    d8, sr8, rms8 = stg._decode(synth_wav(8))
+    assert rms8 is None
+    d24, sr24, rms24 = stg._decode(synth_wav(24))
+    rate24 = int(8000 * (1 + 24 % 3))
+    n = rate24 // 4 + (24 % 7) * 100
+    t = np.arange(n) / rate24
+    rng2 = np.random.RandomState(24)
+    xx = (0.5 * np.sin(2 * np.pi * (220 + 20 * (24 % 9)) * t)
+          + 0.05 * rng2.randn(n))
+    samples = np.clip(np.round(xx * 32767), -32768, 32767).astype(np.int16)
+    ref = samples.astype(np.float64) / 32768.0
+    assert sr24 == rate24 and abs(d24 - n / rate24) < 1e-9
+    assert abs(rms24 - float(np.sqrt(np.mean(ref * ref)))) < 1e-12
 
 
 def test_video_gif_animation_real():
