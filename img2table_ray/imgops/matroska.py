@@ -221,10 +221,11 @@ def _block_frames(data: bytes, b: int, e: int, want_track: int):
     return out
 
 
-def mkv_samples(data: bytes):
-    """-> (fps, n_frames, get(i) -> frame bytes, codec) for the first
-    video track's blocks.  Raises ValueError when there is no video
-    track or no blocks."""
+def _track_blocks(data: bytes, ttype_want: int):
+    """First track of EBML TrackType ``ttype_want`` (1=video, 2=audio)
+    -> dict with block-frame ``spans``, ``codec``, ``defdur`` (ns),
+    ``audio`` {rate, channels, bits}, ``codec_private`` bytes, and the
+    Segment Info ``duration_s``."""
     if data[:4] != b"\x1a\x45\xdf\xa3":
         raise ValueError("not an EBML/Matroska stream")
     segment = None
@@ -236,15 +237,27 @@ def mkv_samples(data: bytes):
         raise ValueError("no Matroska Segment")
     track_num = None
     codec = None
-    fps = 0.0
-    frames: "list[tuple[int, int]]" = []
+    defdur = None
+    priv = b""
+    audio = {"rate": 0.0, "channels": 1, "bits": 0}
+    scale = 1_000_000
+    dur_ticks = None
+    spans: "list[tuple[int, int]]" = []
     for eid, b, e in _elements(data, segment[0], segment[1]):
-        if eid == 0x1654AE6B:  # Tracks
+        if eid == 0x1549A966:  # Info
+            for i2, b2, e2 in _elements(data, b, e):
+                if i2 == 0x2AD7B1:
+                    scale = _uint(data, b2, e2)
+                elif i2 == 0x4489:
+                    dur_ticks = _float(data, b2, e2)
+        elif eid == 0x1654AE6B:  # Tracks
             for i2, b2, e2 in _elements(data, b, e):
                 if i2 != 0xAE or track_num is not None:
                     continue
-                tnum = ttype = defdur = None
+                tnum = ttype = dd = None
                 cid = None
+                pv = b""
+                au = dict(audio)
                 for i3, b3, e3 in _elements(data, b2, e2):
                     if i3 == 0xD7:
                         tnum = _uint(data, b3, e3)
@@ -253,23 +266,50 @@ def mkv_samples(data: bytes):
                     elif i3 == 0x86:
                         cid = data[b3:e3].decode("ascii", "replace")
                     elif i3 == 0x23E383:
-                        defdur = _uint(data, b3, e3)
-                if ttype == 1 and tnum is not None:
+                        dd = _uint(data, b3, e3)
+                    elif i3 == 0x63A2:  # CodecPrivate
+                        pv = data[b3:e3]
+                    elif i3 == 0xE1:  # Audio
+                        for i4, b4, e4 in _elements(data, b3, e3):
+                            if i4 == 0xB5:
+                                au["rate"] = _float(data, b4, e4)
+                            elif i4 == 0x9F:
+                                au["channels"] = _uint(data, b4, e4)
+                            elif i4 == 0x6264:
+                                au["bits"] = _uint(data, b4, e4)
+                if ttype == ttype_want and tnum is not None:
                     track_num = tnum
                     codec = cid
-                    if defdur:
-                        fps = 1e9 / defdur
+                    defdur = dd
+                    priv = pv
+                    audio = au
         elif eid == 0x1F43B675 and track_num is not None:  # Cluster
             for i2, b2, e2 in _elements(data, b, e):
                 if i2 == 0xA3:  # SimpleBlock
-                    frames.extend(_block_frames(data, b2, e2, track_num))
+                    spans.extend(_block_frames(data, b2, e2, track_num))
                 elif i2 == 0xA0:  # BlockGroup
                     for i3, b3, e3 in _elements(data, b2, e2):
                         if i3 == 0xA1:  # Block
-                            frames.extend(
+                            spans.extend(
                                 _block_frames(data, b3, e3, track_num))
     if track_num is None:
-        raise ValueError("no video track in Matroska stream")
+        raise ValueError(
+            f"no type-{ttype_want} track in Matroska stream")
+    duration_s = (round(dur_ticks * scale / 1e9, 3)
+                  if dur_ticks is not None else None)
+    return {"spans": spans, "codec": codec, "defdur": defdur,
+            "audio": audio, "codec_private": priv,
+            "duration_s": duration_s}
+
+
+def mkv_samples(data: bytes):
+    """-> (fps, n_frames, get(i) -> frame bytes, codec) for the first
+    video track's blocks.  Raises ValueError when there is no video
+    track or no blocks."""
+    t = _track_blocks(data, 1)
+    frames = t["spans"]
+    codec = t["codec"]
+    fps = 1e9 / t["defdur"] if t["defdur"] else 0.0
     if not frames:
         raise ValueError("no video blocks in Matroska stream")
 
@@ -346,4 +386,92 @@ def synth_webm_mjpeg(seed: int) -> bytes:
     cluster2 = elem(0x1F43B675, elem(0xE7, u(n1 * 1000 // fps))
                     + elem(0xA3, laced))
     segment = elem(0x18538067, info + tracks + cluster1 + cluster2)
+    return ebml + segment
+
+
+def mkv_audio(data: bytes) -> dict:
+    """First audio track -> {codec, sample_rate, channels, bits,
+    duration_s, codec_private, payload} where ``payload`` is the
+    concatenated block bytes (PCM samples for A_PCM/*, FLAC frames for
+    A_FLAC whose native header sits in ``codec_private``)."""
+    t = _track_blocks(data, 2)
+    payload = b"".join(data[s:e] for s, e in t["spans"])
+    return {"codec": t["codec"] or "",
+            "sample_rate": int(round(t["audio"]["rate"])),
+            "channels": t["audio"]["channels"] or 1,
+            "bits": t["audio"]["bits"],
+            "duration_s": t["duration_s"],
+            "codec_private": t["codec_private"],
+            "payload": payload}
+
+
+def synth_mkv_audio(seed: int, samples, rate: int,
+                    codec: str = "A_PCM/INT/LIT") -> bytes:
+    """Matroska audio fixture: one audio TrackEntry
+    (SamplingFrequency/Channels/BitDepth) + Clusters of SimpleBlocks.
+    A_PCM/INT/{LIT,BIG} carry int16 PCM, A_PCM/FLOAT/IEEE carries f32,
+    A_FLAC puts the native header in CodecPrivate and one FLAC frame
+    stream across the blocks."""
+    import numpy as np
+
+    def vint_size(v: int) -> bytes:
+        for length in range(1, 9):
+            if v < (1 << (7 * length)) - 1:
+                return (v | (1 << (7 * length))).to_bytes(length, "big")
+        raise ValueError("size too large")
+
+    def elem(eid: int, body: bytes) -> bytes:
+        nid = (eid.bit_length() + 7) // 8
+        return eid.to_bytes(nid, "big") + vint_size(len(body)) + body
+
+    def u(v: int) -> bytes:
+        n = max(1, (v.bit_length() + 7) // 8)
+        return v.to_bytes(n, "big")
+
+    x = np.asarray(samples, np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    priv = b""
+    if codec == "A_PCM/INT/LIT":
+        payload, bits = x.reshape(-1).astype("<i2").tobytes(), 16
+    elif codec == "A_PCM/INT/BIG":
+        payload, bits = x.reshape(-1).astype(">i2").tobytes(), 16
+    elif codec == "A_PCM/FLOAT/IEEE":
+        payload = (x.reshape(-1).astype(np.float32)
+                   / np.float32(32768.0)).astype("<f4").tobytes()
+        bits = 32
+    elif codec == "A_FLAC":
+        from img2table_ray.imgops.flac import encode_flac
+
+        native = encode_flac(x if channels > 1 else x[:, 0], rate,
+                             blocksize=1024)
+        priv, payload, bits = native[:42], native[42:], 16
+    else:
+        raise ValueError(codec)
+
+    ebml = elem(0x1A45DFA3,
+                elem(0x4286, u(1)) + elem(0x42F7, u(1)) + elem(0x42F2, u(4))
+                + elem(0x42F3, u(8)) + elem(0x4282, b"matroska")
+                + elem(0x4287, u(4)) + elem(0x4285, u(2)))
+    dur_ms = x.shape[0] * 1000.0 / rate
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, u(1_000_000))
+                + elem(0x4489, struct.pack(">d", dur_ms)))
+    audio = elem(0xE1, elem(0xB5, struct.pack(">d", float(rate)))
+                 + elem(0x9F, u(channels)) + elem(0x6264, u(bits)))
+    track_body = (elem(0xD7, u(1)) + elem(0x73C5, u(1)) + elem(0x83, u(2))
+                  + elem(0x86, codec.encode("ascii")) + audio)
+    if priv:
+        track_body += elem(0x63A2, priv)
+    tracks = elem(0x1654AE6B, elem(0xAE, track_body))
+
+    def simpleblock(chunk: bytes, tc: int) -> bytes:
+        return elem(0xA3, b"\x81" + struct.pack(">h", tc) + b"\x80" + chunk)
+
+    cut = len(payload) // 2
+    cluster = elem(0x1F43B675, elem(0xE7, u(0))
+                   + simpleblock(payload[:cut], 0)
+                   + simpleblock(payload[cut:], int(dur_ms // 2)))
+    segment = elem(0x18538067, info + tracks + cluster)
     return ebml + segment

@@ -224,6 +224,46 @@ class AudioFeatureStage:
                 return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
             m = parse_ogg(data)
             return m["duration_s"], m["sample_rate"], None
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            # Matroska audio (.mka/.webm): A_PCM/* and A_FLAC decode
+            # for REAL via the Cluster block walk (imgops/matroska.py:
+            # mkv_audio); Vorbis/Opus/AAC tracks stay metadata_only
+            from img2table_ray.imgops.matroska import mkv_audio
+
+            m = mkv_audio(data)
+            codec, raw = m["codec"], m["payload"]
+            rate, channels = m["sample_rate"], m["channels"]
+            if codec == "A_FLAC" and m["codec_private"][:4] == b"fLaC":
+                from img2table_ray.imgops.flac import decode_flac
+
+                s, rate, channels, bits = decode_flac(
+                    m["codec_private"] + raw)
+                frames = len(s) // channels
+                if frames == 0:
+                    return 0.0, rate, 0.0
+                x = s.astype(np.float64) / float(1 << (bits - 1))
+                return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
+            if rate and raw and codec.startswith("A_PCM/"):
+                bits = m["bits"] or 16
+                if codec == "A_PCM/FLOAT/IEEE":
+                    dt, w = ("<f4", 4) if bits == 32 else ("<f8", 8)
+                    x = np.frombuffer(raw[: len(raw) - len(raw) % w],
+                                      dt).astype(np.float64)
+                elif bits == 16:
+                    dt = "<i2" if codec.endswith("LIT") else ">i2"
+                    x = np.frombuffer(raw[: len(raw) & ~1], dt).astype(
+                        np.float64) / 32768.0
+                elif bits == 8:  # Matroska 8-bit PCM is unsigned
+                    x = (np.frombuffer(raw, np.uint8).astype(np.float64)
+                         - 128.0) / 128.0
+                else:
+                    raise ValueError(f"unsupported A_PCM depth {bits}")
+                frames = len(x) // channels
+                if frames == 0:
+                    return 0.0, rate, 0.0
+                x = x[: frames * channels]
+                return frames / rate, rate, float(np.sqrt(np.mean(x * x)))
+            return m["duration_s"], rate or None, None
         if len(data) > 8 and data[4:8] == b"ftyp":
             # ISO-BMFF audio (.m4a/MOV): PCM and G.711 tracks decode
             # for REAL via the sample tables (imgops/isobmff.py:
@@ -822,6 +862,11 @@ def synth_wav(seed: int) -> bytes:
             return synth_m4a(seed)
         codec = (b"twos", b"sowt", b"ulaw")[variant - 1]
         return synth_mov_pcm(seed, samples, rate, codec)
+    if seed % 16 == 0 and (seed // 16) % 2:  # Matroska audio (.mka)
+        from img2table_ray.imgops.matroska import synth_mkv_audio
+
+        codec = ("A_PCM/INT/LIT", "A_FLAC")[(seed // 32) % 2]
+        return synth_mkv_audio(seed, samples, rate, codec)
     pcm = samples.astype("<i2").tobytes()
     import struct as _s
 
@@ -846,6 +891,8 @@ def audio_features(sf_dir: str) -> ray.data.Dataset:
     def _ext(i: int) -> str:
         if i % 16 == 8:  # ISO-BMFF: AAC metadata vs PCM/G.711 real
             return "m4a" if (i // 16) % 4 == 0 else "mov"
+        if i % 16 == 0 and (i // 16) % 2:  # Matroska audio (real)
+            return "mka"
         return ext.get(i % 16, "wav")
 
     rows = [{"url": f"https://audio.example/{i:06d}.{_ext(i)}",

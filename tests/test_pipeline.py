@@ -644,6 +644,61 @@ def test_audio_mov_pcm_decode_real():
     assert abs(rms24 - float(np.sqrt(np.mean(ref * ref)))) < 1e-12
 
 
+def test_audio_mkv_decode_real():
+    """Matroska audio tracks (round 5, imgops/matroska.py:mkv_audio):
+    A_PCM byte orders reassemble bit-exactly from SimpleBlocks, A_FLAC
+    decodes losslessly (CodecPrivate native header + block frames), the
+    float variant parses, and the stage decodes a synth .mka corpus row
+    to the exact PCM-reference RMS while codec-requiring tracks return
+    metadata."""
+    import numpy as np
+
+    from img2table_ray.imgops.flac import decode_flac
+    from img2table_ray.imgops.matroska import mkv_audio, synth_mkv_audio
+    from img2table_ray.pipelines.multimodal import (
+        AudioFeatureStage, synth_wav)
+
+    rng = np.random.RandomState(13)
+    x = rng.randint(-32768, 32768, 4001).astype(np.int16)
+    stg = AudioFeatureStage()
+    ref = x.astype(np.float64) / 32768.0
+    ref_rms = float(np.sqrt(np.mean(ref * ref)))
+
+    for codec, dt in (("A_PCM/INT/LIT", "<i2"), ("A_PCM/INT/BIG", ">i2")):
+        blob = synth_mkv_audio(1, x, 16000, codec)
+        m = mkv_audio(blob)
+        assert np.array_equal(np.frombuffer(m["payload"], dt), x), codec
+        d, sr, rms = stg._decode(blob)
+        assert sr == 16000 and abs(d - len(x) / 16000) < 1e-9
+        assert abs(rms - ref_rms) < 1e-12
+
+    blob = synth_mkv_audio(1, x, 16000, "A_FLAC")
+    m = mkv_audio(blob)
+    s, rate, ch, _ = decode_flac(m["codec_private"] + m["payload"])
+    assert np.array_equal(s, x.astype(np.int32))  # lossless via blocks
+    d, sr, rms = stg._decode(blob)
+    assert sr == 16000 and abs(rms - ref_rms) < 1e-12
+
+    d, sr, rms = stg._decode(synth_mkv_audio(1, x, 8000,
+                                             "A_PCM/FLOAT/IEEE"))
+    assert sr == 8000 and abs(rms - ref_rms) < 1e-4  # f32 rounding
+
+    # corpus rotation: seed 16 -> .mka A_PCM (ok), exact reference RMS
+    blob16 = synth_wav(16)
+    assert blob16[:4] == b"\x1a\x45\xdf\xa3"
+    d16, sr16, rms16 = stg._decode(blob16)
+    rate16 = int(8000 * (1 + 16 % 3))
+    n = rate16 // 4 + (16 % 7) * 100
+    t = np.arange(n) / rate16
+    rng2 = np.random.RandomState(16)
+    xx = (0.5 * np.sin(2 * np.pi * (220 + 20 * (16 % 9)) * t)
+          + 0.05 * rng2.randn(n))
+    samples = np.clip(np.round(xx * 32767), -32768, 32767).astype(np.int16)
+    r16 = samples.astype(np.float64) / 32768.0
+    assert sr16 == rate16 and abs(d16 - n / rate16) < 1e-9
+    assert abs(rms16 - float(np.sqrt(np.mean(r16 * r16)))) < 1e-12
+
+
 def test_video_gif_animation_real():
     """Animated GIF as video (round 5): full-frame round-trip through
     encode_gif_anim/gif_frames, 89a compositing semantics (delta frame
