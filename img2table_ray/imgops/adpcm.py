@@ -346,7 +346,7 @@ def ima4_encode(x: np.ndarray) -> bytes:
         for ch in range(channels):
             # re-seed exactly what the preamble can carry so encoder and
             # decoder predictors stay bit-identical
-            pred[ch] = int(np.int32(np.int16(pred[ch] & 0xFF80)))
+            pred[ch] = ((pred[ch] & 0xFF80) ^ 0x8000) - 0x8000
             out += struct.pack(">H", (pred[ch] & 0xFF80) | index[ch])
             nibs = []
             for t in range(IMA4_SAMPLES):

@@ -280,8 +280,11 @@ def test_audio_features_query(ray_session):
     # rows (seed%16==6 with odd seed//16); MP3 (seed%16==10), Ogg
     # Vorbis (even seed//16), Opus (seed%16==14) and AAC .m4a rows are
     # the metadata_only paths (container walks)
-    oggflac = df["url"].str.endswith(".ogg") & (
-        (df.index.to_series() // 16) % 2 == 1)
+    # Derive the generator seed from the url (audio.example/{i:06d}.ext)
+    # — Ray Data does not guarantee block order in to_pandas(), so
+    # positional df.index is flaky under load.
+    i = df["url"].str.extract(r"/(\d{6})\.")[0].astype(int)
+    oggflac = df["url"].str.endswith(".ogg") & ((i // 16) % 2 == 1)
     meta = df["url"].str.contains(r"\.(?:mp3|ogg|opus|m4a)$") & ~oggflac
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
@@ -985,10 +988,12 @@ def test_video_frames_query(ray_session):
     assert len(df) == 32
     # AVI/GIF rows decode sampled frames, as do MJPEG-coded MP4/WebM
     # rows (i%6 in (4,5) with odd i//6); avc1 MP4 and VP9 WebM rows
-    # are the metadata_only paths (container walks)
+    # are the metadata_only paths (container walks).  Derive i from the
+    # url (video.example/{i:06d}.ext) — Ray Data does not guarantee
+    # block order in to_pandas(), so positional df.index is flaky.
+    i = df["url"].str.extract(r"/(\d{6})\.")[0].astype(int)
     mjpeg = (df["url"].str.endswith(".mp4")
-             | df["url"].str.endswith(".webm")) & (
-        (df.index.to_series() // 6) % 2 == 1)
+             | df["url"].str.endswith(".webm")) & ((i // 6) % 2 == 1)
     meta = (df["url"].str.endswith(".mp4")
             | df["url"].str.endswith(".webm")) & ~mjpeg
     assert (df.loc[~meta, "status"] == "ok").all()
