@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         docops,
         extraction_queries,
+        joins,
         multimodal,
         relational,
         similarity,
@@ -71,6 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "nation_revenue": relational.nation_revenue,
+        # --- custom joins / windows Ray Data lacks natively ---
+        "asof_join": joins.asof_join,
+        "range_join": joins.range_join,
+        "sliding_window": joins.sliding_window,
     }
 
 
@@ -94,4 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.pricing_summary_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "nation_revenue": oracles.nation_revenue_sql(),
+        "asof_join": oracles.asof_join_sql(),
+        "range_join": oracles.range_join_sql(),
+        "sliding_window": oracles.sliding_window_sql(),
     }

@@ -302,3 +302,51 @@ SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
        list_min(fps) AS min_fp, list_max(fps) AS max_fp
 FROM f
 """
+
+
+def asof_join_sql(left_type: str = "purchase",
+                  right_type: str = "click") -> str:
+    """Deterministic as-of formulation (correlated LATERAL top-1 instead of
+    DuckDB's ASOF JOIN so the tie-break — latest ts, then largest event_id
+    — is explicit and matches the Ray side's sorted merge_asof)."""
+    return f"""
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{left_type}') p
+JOIN LATERAL (
+  SELECT event_id, ts FROM events c
+  WHERE c.event_type = '{right_type}'
+    AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+"""
+
+
+def range_join_sql() -> str:
+    from img2table_ray.pipelines.joins import PRICE_BANDS
+
+    values = ", ".join(f"({i}, {lo!r}, {hi!r})" for i, lo, hi in PRICE_BANDS)
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {values})
+SELECT band_id::BIGINT AS band_id, lo::DOUBLE AS lo, hi::DOUBLE AS hi,
+       count(*)::BIGINT AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_window_sql() -> str:
+    from img2table_ray.pipelines.joins import HOP_US, WINDOW_US
+
+    nhops = WINDOW_US // HOP_US
+    hop_vals = ", ".join(f"({k})" for k in range(nhops))
+    return f"""
+WITH hops(k) AS (VALUES {hop_vals})
+SELECT make_timestamp((epoch_us(ts) // {HOP_US} - k) * {HOP_US})
+         AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN hops
+GROUP BY 1, 2
+"""
