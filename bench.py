@@ -25,7 +25,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # queries timed in the headline suite (a representative cross-section:
-# text analysis, dedup shuffle, broadcast ANN, windowed agg, extraction)
+# text analysis, dedup shuffle, broadcast ANN, windowed agg, custom
+# joins, extraction)
 BENCH_QUERIES = [
     "text_quality",
     "doc_fingerprint",
@@ -34,6 +35,9 @@ BENCH_QUERIES = [
     "ann_topk",
     "pricing_summary",
     "events_hourly",
+    "asof_join",
+    "range_join",
+    "sliding_window",
     "extract_tables_joined",
     "extract_tables",
 ]
