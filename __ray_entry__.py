@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "nation_revenue": relational.nation_revenue,
+        "group_quantiles": relational.group_quantiles,
+        "distinct_users_daily": relational.distinct_users_daily,
         # --- custom joins / windows Ray Data lacks natively ---
         "asof_join": joins.asof_join,
         "range_join": joins.range_join,
@@ -99,6 +101,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.pricing_summary_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "nation_revenue": oracles.nation_revenue_sql(),
+        "group_quantiles": oracles.group_quantiles_sql(),
+        "distinct_users_daily": oracles.distinct_users_daily_sql(),
         "asof_join": oracles.asof_join_sql(),
         "range_join": oracles.range_join_sql(),
         "sliding_window": oracles.sliding_window_sql(),

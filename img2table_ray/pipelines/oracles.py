@@ -350,3 +350,25 @@ SELECT make_timestamp((epoch_us(ts) // {HOP_US} - k) * {HOP_US})
 FROM events CROSS JOIN hops
 GROUP BY 1, 2
 """
+
+
+def group_quantiles_sql() -> str:
+    from img2table_ray.pipelines.relational import QUANTILE_QS
+
+    cols = ",\n       ".join(
+        f"quantile_disc(l_extendedprice, {q}) AS p{int(q * 100)}"
+        for q in QUANTILE_QS
+    )
+    return f"""
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       {cols}
+FROM lineitem GROUP BY 1
+"""
+
+
+def distinct_users_daily_sql() -> str:
+    return """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""

@@ -18,6 +18,7 @@ import ray
 import ray.data
 
 from img2table_ray.sources.readers import read_parquet_clean
+from img2table_ray.stages.util import shuffle_width
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -231,3 +232,101 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
         .groupby("user_id")
         .map_groups(_stitch_user_sessions, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles / distinct counts
+# ---------------------------------------------------------------------------
+
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def group_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group quantiles of l_extendedprice per l_returnflag
+    (p25/p50/p75/p95, discrete: the value at 1-based rank ceil(q*n),
+    matching DuckDB's ``quantile_disc``), plus n_rows.
+
+    Scale shape: quantiles resist partial aggregation, but a VALUE-COUNT
+    map does not — each batch emits its distinct (group, value, count)
+    triples (prices have fixed precision and a bounded domain, so the
+    map is bounded by the DOMAIN, not the row count), the per-group
+    merge sorts O(distinct values) entries and reads ranks off the
+    cumulative counts.  Rows reaching the shuffle are
+    O(distinct-per-batch x batches); per-group final state is
+    O(distinct values in the domain).  For an unbounded/continuous
+    domain, swap the exact value map for fixed-width bins plus a
+    refinement pass (or a quantile sketch) — the dataflow is identical.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["l_returnflag", "l_extendedprice"]).to_pandas()
+        return df.groupby(["l_returnflag", "l_extendedprice"],
+                          as_index=False).size().rename(columns={"size": "n"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_extendedprice", as_index=False)["n"].sum()
+        m = m.sort_values("l_extendedprice", kind="stable")
+        cum = m["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        vals = m["l_extendedprice"].to_numpy()
+        row = {"l_returnflag": g["l_returnflag"].iloc[0],
+               "n_rows": np.int64(total)}
+        for q in QUANTILE_QS:
+            # 1-based rank ceil(q*n) in the SAME float64 arithmetic DuckDB
+            # uses, so boundary cases agree with quantile_disc
+            rank = int(np.ceil(q * total))
+            row[f"p{int(q * 100)}"] = vals[np.searchsorted(cum, rank)]
+        return pd.DataFrame([row])
+
+    ds = (
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pandas")
+    )
+    df = ds.to_pandas()
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df = df.sort_values("l_returnflag", kind="stable").reset_index(drop=True)
+    return df[["l_returnflag", "n_rows"] +
+              [f"p{int(q * 100)}" for q in QUANTILE_QS]]
+
+
+def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
+    """EXACT count(DISTINCT user_id) per day over the events stream.
+
+    Scale shape: exact distinct needs a global dedupe, so pairs are
+    hash-partitioned on the DISTINCT key (user_id % K, K from the
+    cluster size) — every copy of a (day, user) pair lands in one
+    bucket.  Each batch first dedupes its own pairs (the combiner: a
+    batch emits at most its distinct pairs, not its rows), each bucket
+    dedupes globally and emits per-day partial counts, and only
+    O(buckets x days) partial rows reach the final per-day sum.  No
+    stage ever holds more than one bucket's distinct pairs.
+    """
+    width = shuffle_width(min_width=16)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        df = pa.table({"day": day, "user_id": batch["user_id"]}).to_pandas()
+        df = df.drop_duplicates()
+        return df.assign(bucket=(df["user_id"] % width).astype("int64"))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns=["bucket"]).drop_duplicates()
+        out = d.groupby("day", as_index=False).size()
+        return out.rename(columns={"size": "p_n"})
+
+    ds = (
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+    df = ds.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    df = df.sort_values("day", kind="stable").reset_index(drop=True)
+    return df[["day", "n_users"]]
