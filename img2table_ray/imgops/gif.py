@@ -19,6 +19,8 @@ import struct
 
 import numpy as np
 
+from img2table_ray.imgops.limits import check_dims
+
 from img2table_ray.imgops.lzw import LzwError, lzw_decode_gif
 
 
@@ -32,6 +34,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     if len(data) < 13:
         raise GifError("truncated GIF header")
     sw, sh, packed, bg_idx, _aspect = struct.unpack("<HHBBB", data[6:13])
+    check_dims(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -71,6 +74,7 @@ def decode_gif(data: bytes) -> np.ndarray:
 
         # image descriptor
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        check_dims(w, h, "GIF frame")
         pos += 9
         ct = gct
         if ipacked & 0x80:
@@ -229,6 +233,7 @@ def gif_frames(data: bytes, max_frames: int = 1024):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF file")
     sw, sh, packed, bg_idx, _aspect = struct.unpack("<HHBBB", data[6:13])
+    check_dims(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -276,6 +281,7 @@ def gif_frames(data: bytes, max_frames: int = 1024):
             raise GifError(f"unexpected GIF block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack("<HHHHB",
                                                  data[pos : pos + 9])
+        check_dims(w, h, "GIF frame")
         pos += 9
         ct = gct
         if ipacked & 0x80:

@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from img2table_ray.imgops.limits import check_dims
+
 
 class JpegError(ValueError):
     pass
@@ -194,6 +196,7 @@ def _decode_frame(data: bytes):
             progressive = m in (0xC2, 0xCA)
             arith = m in (0xC9, 0xCA)
             height, width = struct.unpack(">HH", seg[1:5])
+            check_dims(width, height, "JPEG")
             nc = seg[5]
             if nc not in (1, 3, 4):
                 raise JpegError(f"unsupported component count {nc}")

@@ -19,6 +19,8 @@ import zlib
 
 import numpy as np
 
+from img2table_ray.imgops.limits import check_dims
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -52,6 +54,7 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise PngError("missing IHDR")
+    check_dims(width, height, "PNG")
     if bit_depth != 8:
         raise PngError(f"unsupported bit depth {bit_depth}")
     if interlace != 0:
@@ -167,6 +170,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise PngError(f"unsupported BMP (bpp={bpp}, comp={comp})")
     flip = height > 0
     height = abs(height)
+    check_dims(width, height, "BMP")
     nch = bpp // 8
     stride = (width * nch + 3) // 4 * 4
     arr = np.frombuffer(data, dtype=np.uint8, count=height * stride, offset=offset)

@@ -30,6 +30,8 @@ import zlib
 
 import numpy as np
 
+from img2table_ray.imgops.limits import check_dims
+
 from img2table_ray.imgops.lzw import LzwError, lzw_decode_tiff
 
 
@@ -227,6 +229,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     width = one(256)
     height = one(257)
+    check_dims(width, height, "TIFF")
     compression = one(259, default=1)
     photometric = one(262)
     spp = one(277, default=1)
@@ -288,6 +291,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise TiffError("bad tile geometry")
         ta = -(-width // tile_w)
         td = -(-height // tile_len)
+        check_dims(ta * tile_w, td * tile_len, "TIFF tile canvas")
         tiles_per_plane = ta * td
         n_planes = spp if planar == 2 else 1
         if len(offsets) < tiles_per_plane * n_planes:

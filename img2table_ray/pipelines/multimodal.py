@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from img2table_ray.imgops.limits import check_dims
 import pyarrow as pa
 import ray.data
 
@@ -490,6 +492,7 @@ class VideoFrameSampleStage:
         walk(12, len(data), False)
         if not frames or not width:
             raise ValueError("AVI has no video frames")
+        check_dims(width, abs(height), "AVI frame")
         fps = (rate / scale) if (rate and scale) else (
             1e6 / usec_pf if usec_pf else 25.0)
         cc = compression.upper()
