@@ -46,6 +46,8 @@ import zlib
 
 import numpy as np
 
+from img2table_ray.imgops.limits import bounded_decompress
+
 from img2table_ray.extract.pdftext import (
     PdfDocument,
     PdfTextError,
@@ -415,7 +417,7 @@ def _decode_image_xobject(doc: PdfDocument, xo: _Stream):
             data = xo.raw
             for f in filters[:-1]:
                 if f == "FlateDecode":
-                    data = zlib.decompress(data)
+                    data = bounded_decompress(data, what="PDF image stream")
                 else:
                     return None
             rgb = decode_jpeg(data)
@@ -423,7 +425,8 @@ def _decode_image_xobject(doc: PdfDocument, xo: _Stream):
                 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2],
                 0, 255).astype(np.uint8)
         if filters in ([], ["FlateDecode"]):
-            data = xo.raw if not filters else zlib.decompress(xo.raw)
+            data = (xo.raw if not filters else
+                    bounded_decompress(xo.raw, what="PDF image stream"))
             ncomp = _ncomponents(doc, d.get("ColorSpace"))
             if ncomp < 1 or bpc != 8:
                 return None

@@ -31,6 +31,8 @@ import zlib
 
 import numpy as np
 
+from img2table_ray.imgops.limits import bounded_decompress
+
 SCALE = 200 / 72  # reference renders @200 DPI (document/pdf.py:57)
 
 
@@ -340,7 +342,7 @@ class _Stream:
             if str(f) == "FlateDecode":
                 if self.dict.get("DecodeParms") not in (None, {}):
                     raise PdfTextError("FlateDecode predictors unsupported")
-                data = zlib.decompress(data)
+                data = bounded_decompress(data, what="PDF stream")
             else:
                 raise PdfTextError(f"stream filter /{f} unsupported")
         return data

@@ -34,3 +34,32 @@ def check_dims(width: int, height: int, what: str = "image") -> None:
         raise DecodeLimitError(
             f"{what}: {width}x{height} exceeds {MAX_PIXELS} pixel cap"
         )
+
+
+MAX_STREAM_BYTES = 1 << 30
+
+
+def bounded_decompress(data: bytes, expected: int | None = None,
+                       what: str = "stream") -> bytes:
+    """zlib-decompress with an output bound (deflate-bomb guard: a 1 KB
+    stream can legally expand ~1000x per level, so ``zlib.decompress``
+    on untrusted bytes is an unbounded allocation).
+
+    With ``expected`` (PNG scanlines, TIFF strips — the consumer uses at
+    most that many bytes), decompression simply STOPS at ``expected``
+    bytes: byte-identical to the old decompress-then-slice for every
+    well-formed stream, without materializing a bomb's tail.  Without it
+    (PDF streams, where no a-priori size exists), output beyond
+    ``MAX_STREAM_BYTES`` raises ``DecodeLimitError`` instead.
+    """
+    import zlib
+
+    d = zlib.decompressobj()
+    if expected is not None:
+        return d.decompress(data, expected)
+    out = d.decompress(data, MAX_STREAM_BYTES)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise DecodeLimitError(
+            f"{what}: decompressed output exceeds {MAX_STREAM_BYTES} bytes"
+        )
+    return out

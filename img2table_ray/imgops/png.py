@@ -19,7 +19,7 @@ import zlib
 
 import numpy as np
 
-from img2table_ray.imgops.limits import check_dims
+from img2table_ray.imgops.limits import bounded_decompress, check_dims
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -64,9 +64,9 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels is None:
         raise PngError(f"unsupported color type {color_type}")
 
-    raw = zlib.decompress(b"".join(idat))
     stride = width * channels
     expected = height * (stride + 1)
+    raw = bounded_decompress(b"".join(idat), expected, "PNG IDAT")
     if len(raw) < expected:
         raise PngError("truncated image data")
     raw = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(height, stride + 1)

@@ -30,7 +30,7 @@ import zlib
 
 import numpy as np
 
-from img2table_ray.imgops.limits import check_dims
+from img2table_ray.imgops.limits import bounded_decompress, check_dims
 
 from img2table_ray.imgops.lzw import LzwError, lzw_decode_tiff
 
@@ -174,7 +174,7 @@ def _decompress(chunk: bytes, compression: int, expected: int) -> bytes:
         except LzwError as err:
             raise TiffError(f"bad LZW strip: {err}") from err
     if compression in (8, 32946):
-        return zlib.decompress(chunk)
+        return bounded_decompress(chunk, expected, "TIFF deflate strip")
     if compression == 32773:
         return unpackbits(chunk, expected=expected)
     names = {2: "CCITT G3 1D", 3: "CCITT G3", 4: "CCITT G4", 6: "old JPEG",

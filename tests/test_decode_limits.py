@@ -93,3 +93,41 @@ def test_limit_is_an_error_row_not_a_task_failure():
     )
     assert out.num_rows == 1
     assert out["width"].to_pylist() == [-1]
+
+
+def test_bounded_decompress_truncates_at_expected():
+    from img2table_ray.imgops.limits import bounded_decompress
+
+    payload = zlib.compress(b"x" * 1_000_000)
+    out = bounded_decompress(payload, expected=1024)
+    assert out == b"x" * 1024  # bomb tail never materializes
+
+
+def test_bounded_decompress_caps_unsized_streams():
+    import zlib as z
+
+    from img2table_ray.imgops.limits import (MAX_STREAM_BYTES,
+                                             bounded_decompress)
+
+    ok = z.compress(b"y" * 4096)
+    assert bounded_decompress(ok) == b"y" * 4096
+
+    co = z.compressobj()
+    chunks = [co.compress(b"\x00" * (1 << 20)) for _ in range((MAX_STREAM_BYTES >> 20) + 2)]
+    chunks.append(co.flush())
+    bomb = b"".join(chunks)
+    with pytest.raises(DecodeLimitError):
+        bounded_decompress(bomb)
+
+
+def test_png_deflate_bomb_is_bounded():
+    # tiny PNG dims but IDAT that inflates to 100 MB: decode must not
+    # materialize the bomb; it fails the normal way or succeeds on the
+    # expected prefix, never allocating the tail
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (100 << 20))
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    img = decode_image(data)  # first 4x(4*3+1) bytes are valid zero scanlines
+    assert img.shape == (4, 4, 3)
+    assert not img.any()
