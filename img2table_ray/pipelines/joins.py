@@ -83,7 +83,7 @@ _ASOF_EMPTY = pd.DataFrame(
 
 
 def asof_join(sf_dir: str, left_type: str = "purchase",
-              right_type: str = "click") -> pd.DataFrame:
+              right_type: str = "click") -> "ray.data.Dataset":
     """For each ``left_type`` event, the same user's most recent
     ``right_type`` event at-or-before its timestamp (inner as-of join).
 
@@ -115,7 +115,10 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
             }
         )
 
-    ds = (
+    # output is one row per left event — the same order of magnitude as
+    # the input, so it stays a streaming Dataset (consume with
+    # write_parquet / iter_batches); no driver-side materialization
+    return (
         read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "event_type"],
@@ -125,8 +128,6 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
         .map_groups(lambda g: _asof_bucket(g.drop(columns=["bucket"])),
                     batch_format="pandas")
     )
-    df = ds.to_pandas()  # output is one row per left event — key-bounded
-    return df.sort_values(["event_id"], kind="stable").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +202,7 @@ WINDOW_US = 3_600 * US_PER_SEC  # 1-hour windows ...
 HOP_US = 900 * US_PER_SEC       # ... sliding every 15 minutes
 
 
-def sliding_window(sf_dir: str) -> pd.DataFrame:
+def sliding_window(sf_dir: str) -> "ray.data.Dataset":
     """Sliding-window aggregate over the events stream: 1-hour windows
     hopping every 15 minutes, per (window_start, event_type): n_events,
     sum_value (r4).  An event at ``ts`` belongs to the ``window/hop`` = 4
@@ -241,10 +242,17 @@ def sliding_window(sf_dir: str) -> pd.DataFrame:
         return out
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["window_start", "event_type"], as_index=False
-                         ).agg(n_events=("p_n", "sum"), sum_value=("p_sum", "sum"))
+        out = g.groupby(["window_start", "event_type"], as_index=False
+                        ).agg(n_events=("p_n", "sum"), sum_value=("p_sum", "sum"))
+        out["window_start"] = pd.to_datetime(out["window_start"], unit="us"
+                                             ).astype("datetime64[us]")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = np.round(out["sum_value"], 4)
+        return out[["window_start", "event_type", "n_events", "sum_value"]]
 
-    ds = (
+    # output is one row per (window, type) — it grows with the stream's
+    # time span, so it too stays a streaming Dataset
+    return (
         read_parquet_clean(f"{sf_dir}/events.parquet",
                            columns=["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -252,10 +260,3 @@ def sliding_window(sf_dir: str) -> pd.DataFrame:
         .map_groups(lambda g: combine(g.drop(columns=["bucket"])),
                     batch_format="pandas")
     )
-    df = ds.to_pandas()
-    df["window_start"] = pd.to_datetime(df["window_start"], unit="us")
-    df["n_events"] = df["n_events"].astype("int64")
-    df["sum_value"] = np.round(df["sum_value"], 4)
-    df = df.sort_values(["window_start", "event_type"], kind="stable"
-                        ).reset_index(drop=True)
-    return df[["window_start", "event_type", "n_events", "sum_value"]]

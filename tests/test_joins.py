@@ -46,7 +46,8 @@ def test_asof_tiebreak_and_inner_semantics(tmp_path, ray_session):
             (400, t + "01", 3, "click", 0.0),
         ],
     )
-    out = joins.asof_join(sf)
+    out = joins.asof_join(sf).to_pandas().sort_values("event_id"
+                                                      ).reset_index(drop=True)
     assert list(out["event_id"]) == [200, 201]
     assert list(out["click_event_id"]) == [102, 102]
     assert list(out["gap_us"]) == [0, 20_000_000]
@@ -61,7 +62,7 @@ def test_asof_key_never_crosses_buckets(tmp_path, ray_session):
         rows.append((u * 10, t + "05", u, "click", 0.0))
         rows.append((u * 10 + 1, t + "09", u, "purchase", 1.0))
     sf = _write_events(tmp_path, rows)
-    out = joins.asof_join(sf)
+    out = joins.asof_join(sf).to_pandas()
     assert len(out) == 33
     assert (out["click_event_id"] == out["event_id"] - 1).all()
 
@@ -87,7 +88,7 @@ def test_sliding_window_membership(tmp_path, ray_session):
     sf = _write_events(
         tmp_path, [(1, "2026-01-01 02:07:00", 1, "view", 2.5)]
     )
-    out = joins.sliding_window(sf)
+    out = joins.sliding_window(sf).to_pandas()
     assert len(out) == 4
     starts = sorted(out["window_start"])
     assert starts == [
@@ -108,7 +109,7 @@ def test_sliding_window_partials_combine(tmp_path, ray_session):
             (2, "2026-01-01 02:08:00", 2, "view", 2.0),
         ],
     )
-    out = joins.sliding_window(sf)
+    out = joins.sliding_window(sf).to_pandas()
     assert len(out) == 4
     assert (out["n_events"] == 2).all()
     assert np.allclose(out["sum_value"], 3.0)
