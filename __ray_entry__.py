@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "group_quantiles": relational.group_quantiles,
         "distinct_users_daily": relational.distinct_users_daily,
+        "top_orders_per_nation": relational.top_orders_per_nation,
         # --- custom joins / windows Ray Data lacks natively ---
         "asof_join": joins.asof_join,
         "range_join": joins.range_join,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracles.nation_revenue_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),
         "distinct_users_daily": oracles.distinct_users_daily_sql(),
+        "top_orders_per_nation": oracles.top_orders_per_nation_sql(),
         "asof_join": oracles.asof_join_sql(),
         "range_join": oracles.range_join_sql(),
         "sliding_window": oracles.sliding_window_sql(),

@@ -372,3 +372,18 @@ SELECT date_trunc('day', ts) AS day,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1
 """
+
+
+def top_orders_per_nation_sql(k: int = 3) -> str:
+    return f"""
+SELECT n_name, rank, o_orderkey, o_totalprice FROM (
+  SELECT n.n_name AS n_name,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey
+                            )::BIGINT AS rank,
+         o.o_orderkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+WHERE rank <= {k}
+"""

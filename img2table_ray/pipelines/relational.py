@@ -330,3 +330,68 @@ def distinct_users_daily(sf_dir: str) -> pd.DataFrame:
     df["n_users"] = df["n_users"].astype("int64")
     df = df.sort_values("day", kind="stable").reset_index(drop=True)
     return df[["day", "n_users"]]
+
+
+TOPK_PER_GROUP = 3
+
+
+def top_orders_per_nation(sf_dir: str, k: int = TOPK_PER_GROUP
+                          ) -> pd.DataFrame:
+    """Per-group top-k WITHOUT a full sort: the k most expensive orders
+    per nation (rank 1-based; ties on price break to the smaller
+    o_orderkey).
+
+    Scale shape: the classic top-k decomposition — each batch keeps at
+    most k rows PER KEY (a partial top-k: sort only within the batch),
+    so the shuffle moves O(k x keys x batches) rows instead of the full
+    table, and the per-key final merge re-ranks at most k x batches
+    rows.  The nation attribution is the same broadcast searchsorted
+    lookup as :func:`nation_revenue` — no shuffle join.  Columns:
+    n_name, rank, o_orderkey, o_totalprice.
+    """
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cmap = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", how="left"
+    )[["c_custkey", "n_name"]].sort_values("c_custkey")
+    ref = ray.put((cmap["c_custkey"].to_numpy(), cmap["n_name"].to_numpy()))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="stable")
+        return df.groupby("n_name", as_index=False, sort=False).head(k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, names = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        df = pd.DataFrame(
+            {
+                "n_name": np.where(keys[idx] == ck, names[idx], None),
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+        return _topk(df[df["n_name"].notna()])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = _topk(g).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+        return out[["n_name", "rank", "o_orderkey", "o_totalprice"]]
+
+    ds = (
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("n_name")
+        .map_groups(final, batch_format="pandas")
+    )
+    df = ds.to_pandas()  # k x 25 nations — key-bounded
+    return df.sort_values(["n_name", "rank"], kind="stable"
+                          ).reset_index(drop=True)

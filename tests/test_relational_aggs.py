@@ -70,3 +70,25 @@ def test_distinct_users_dedupes_across_batches(tmp_path, ray_session):
     # cycle hits every user on every day, so each day counts exactly 7
     assert len(got) == 3
     assert list(got["n_users"]) == [7, 7, 7]
+
+
+def test_topk_ties_across_batches(tmp_path, ray_session):
+    # 6 orders in ONE nation all tied at the same price, spread across
+    # multiple input blocks: the global top-3 must be the 3 smallest
+    # orderkeys (the declared tie-break), regardless of which batch each
+    # row arrived in.
+    n = pd.DataFrame({"n_nationkey": [0], "n_name": ["ALGERIA"]})
+    c = pd.DataFrame({"c_custkey": [1], "c_nationkey": [0]})
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [60, 50, 40, 30, 20, 10],
+            "o_custkey": [1] * 6,
+            "o_totalprice": [500.0] * 6,
+        }
+    )
+    n.to_parquet(tmp_path / "nation.parquet", index=False)
+    c.to_parquet(tmp_path / "customer.parquet", index=False)
+    o.to_parquet(tmp_path / "orders.parquet", index=False, row_group_size=2)
+    got = relational.top_orders_per_nation(str(tmp_path))
+    assert list(got["o_orderkey"]) == [10, 20, 30]
+    assert list(got["rank"]) == [1, 2, 3]
