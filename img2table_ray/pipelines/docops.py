@@ -198,3 +198,30 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=2048
     )
+
+
+SAMPLE_PCT = 10
+
+
+def deterministic_sample(sf_dir: str, pct: int = SAMPLE_PCT
+                         ) -> ray.data.Dataset:
+    """Reproducible ``pct``% corpus sample keyed on md5(doc_id) — the
+    sampling primitive a training-data pipeline needs: no RNG state, so
+    any re-run (or a resumed partition) selects EXACTLY the same rows,
+    and membership is decidable per row without coordination.  A pure
+    streaming filter: no shuffle, output scales with the corpus so it
+    stays a Dataset.  Columns: doc_id, lang, n_chars.
+    """
+    import hashlib
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+             for i in batch["doc_id"]),
+            dtype=bool, count=len(batch),
+        )
+        return batch[sel]
+
+    return _read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )

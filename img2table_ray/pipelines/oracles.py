@@ -387,3 +387,11 @@ SELECT n_name, rank, o_orderkey, o_totalprice FROM (
   JOIN nation n ON c.c_nationkey = n.n_nationkey)
 WHERE rank <= {k}
 """
+
+
+def deterministic_sample_sql(pct: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 100 < {pct}
+"""
