@@ -101,6 +101,8 @@ def parse_mp4(data: bytes) -> dict:
         if stts is not None and mts:
             sb = stts[0]
             n_ent = int.from_bytes(data[sb + 4 : sb + 8], "big")
+            if sb + 8 + 8 * n_ent > stts[1]:  # count exceeds box extent
+                raise ValueError("stts table exceeds its box")
             total_n = total_t = 0
             for i in range(n_ent):
                 cnt = int.from_bytes(
@@ -247,9 +249,15 @@ def _track_tables(data: bytes, kind: bytes):
         sb = stsz[0]
         fixed = int.from_bytes(data[sb + 4 : sb + 8], "big")
         n = int.from_bytes(data[sb + 8 : sb + 12], "big")
+        # a corrupt count field (up to 2^32) must not drive the table
+        # loops: a declared count the box/stream cannot hold is garbage
         if fixed:
+            if n > len(data):
+                raise ValueError("stsz sample count exceeds stream size")
             sizes = [fixed] * n
         else:
+            if sb + 12 + 4 * n > stsz[1]:
+                raise ValueError("stsz table exceeds its box")
             sizes = [int.from_bytes(
                 data[sb + 12 + 4 * i : sb + 16 + 4 * i], "big")
                 for i in range(n)]
@@ -264,6 +272,8 @@ def _track_tables(data: bytes, kind: bytes):
         cb = stco[0]
         n_chunks = int.from_bytes(data[cb + 4 : cb + 8], "big")
         step = 8 if wide else 4
+        if cb + 8 + step * n_chunks > stco[1]:
+            raise ValueError("stco table exceeds its box")
         chunk_offs = [int.from_bytes(
             data[cb + 8 + step * i : cb + 8 + step * (i + 1)], "big")
             for i in range(n_chunks)]
@@ -273,6 +283,8 @@ def _track_tables(data: bytes, kind: bytes):
             raise ValueError("no stsc box")
         kb = stsc[0]
         n_ent = int.from_bytes(data[kb + 4 : kb + 8], "big")
+        if kb + 8 + 12 * n_ent > stsc[1]:
+            raise ValueError("stsc table exceeds its box")
         runs = [(int.from_bytes(data[kb + 8 + 12 * i : kb + 12 + 12 * i],
                                 "big"),
                  int.from_bytes(data[kb + 12 + 12 * i : kb + 16 + 12 * i],
@@ -301,6 +313,8 @@ def _track_tables(data: bytes, kind: bytes):
         if stts is not None and mts:
             tb = stts[0]
             ne = int.from_bytes(data[tb + 4 : tb + 8], "big")
+            if tb + 8 + 8 * ne > stts[1]:
+                raise ValueError("stts table exceeds its box")
             tot_n = tot_t = 0
             for i in range(ne):
                 cnt = int.from_bytes(

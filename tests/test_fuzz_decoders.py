@@ -137,3 +137,39 @@ def test_pdf_renderer_terminates_on_corrupt_bytes():
     pdf = open("img2table_ray/fixtures/test.pdf", "rb").read()
     r = PdfiumRenderer()
     _fuzz(pdf, r.render, trials=10, seed=300)
+
+
+def test_container_walks_terminate_on_corrupt_bytes():
+    # the ISO-BMFF sample-table walk originally looped on corrupt stsz/
+    # stco/stsc/stts COUNT fields (a 4-byte count of up to 2^32 drove the
+    # table loops regardless of the box's real extent) — found by this
+    # sweep and fixed by bounding every declared count to its box
+    import numpy as np
+
+    from img2table_ray.imgops.isobmff import (synth_m4a, synth_mov_pcm,
+                                              synth_mp4, synth_mp4_mjpeg)
+    from img2table_ray.imgops.matroska import (synth_mkv_audio, synth_webm,
+                                               synth_webm_mjpeg)
+    from img2table_ray.imgops.mpegaudio import synth_mp3
+    from img2table_ray.imgops.ogg import synth_ogg, synth_ogg_flac
+    from img2table_ray.pipelines.multimodal import (AudioFeatureStage,
+                                                    VideoFrameSampleStage)
+
+    pcm = (np.sin(np.linspace(0, 440 * 2 * np.pi, 4000)) * 20000
+           ).astype(np.int16)
+    a, v = AudioFeatureStage(), VideoFrameSampleStage()
+    cases = [
+        (synth_mp4(1), v._decode),
+        (synth_mp4_mjpeg(2), v._decode),
+        (synth_webm(3), v._decode),
+        (synth_webm_mjpeg(4), v._decode),
+        (synth_mov_pcm(5, pcm.reshape(-1, 1), 8000), a._decode),
+        (synth_m4a(6), a._decode),
+        (synth_mkv_audio(7, pcm.reshape(-1, 1), 8000, "A_PCM/INT/LIT"),
+         a._decode),
+        (synth_ogg(8, "vorbis"), a._decode),
+        (synth_ogg_flac(pcm.reshape(-1, 1), 8000, 9), a._decode),
+        (synth_mp3(10), a._decode),
+    ]
+    for i, (base, fn) in enumerate(cases):
+        _fuzz(base, fn, trials=25, seed=400 + i)
