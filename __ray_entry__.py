@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": docops.lang_id,
         "doc_fingerprint": docops.doc_fingerprint,
         "deterministic_sample": docops.deterministic_sample,
+        "main_content": docops.main_content,
         # --- deduplication family ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracles.lang_id_sql(),
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "deterministic_sample": oracles.deterministic_sample_sql(),
+        "main_content": oracles.main_content_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "minhash_dedup": oracles.minhash_dedup_sql(),

@@ -225,3 +225,34 @@ def deterministic_sample(sf_dir: str, pct: int = SAMPLE_PCT
     return _read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         fn, batch_format="pandas", batch_size=4096
     )
+
+
+def main_content(sf_dir: str) -> ray.data.Dataset:
+    """HTML boilerplate strip via DOM heuristics (north-rule surface):
+    each document's text is embedded in seeded realistic boilerplate
+    (nav bars, link-heavy sidebars, ads, comments, footers —
+    ``extract.html_content.wrap_boilerplate``) and recovered by the
+    Arc90-style readability extractor.  The oracle is byte-exact
+    recovery: SELECT doc_id, text FROM documents.  Output scales with
+    the corpus, so it stays a streaming Dataset; HTML parsing is
+    inherently per-document (like hashing in doc_fingerprint), one
+    vectorized-adjacent pass per row inside map_batches.
+    """
+    from img2table_ray.extract.html_content import (main_content as
+                                                    strip_html,
+                                                    wrap_boilerplate)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "main_text": [
+                    strip_html(wrap_boilerplate(int(i), t))
+                    for i, t in zip(batch["doc_id"], batch["text"])
+                ],
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )

@@ -395,3 +395,11 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
       % 100 < {pct}
 """
+
+
+def main_content_sql() -> str:
+    """Byte-exact recovery oracle: the readability extractor must return
+    each document's original text from its boilerplate-wrapped HTML."""
+    return """
+SELECT doc_id, text AS main_text FROM documents
+"""
