@@ -30,6 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "text_quality",
     "doc_fingerprint",
+    "main_content",
     "exact_dedup",
     "minhash_lsh_pairs",
     "ann_topk",
