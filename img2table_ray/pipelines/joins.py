@@ -39,71 +39,164 @@ US_PER_SEC = 1_000_000
 # as-of join
 # ---------------------------------------------------------------------------
 
-def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """As-of join ONE hash bucket: for every left row, the same user's
-    most recent right row at-or-before its ts (inner; ties on ts break to
-    the larger event_id, which ``merge_asof`` picks because the right side
-    is sorted (ts, event_id) and backward search takes the last match)."""
+ASOF_BUCKET_HOURS = 24  # coarse time bucket bounding per-group events
+
+
+def _asof_local(g: pd.DataFrame) -> pd.DataFrame:
+    """As-of join ONE COARSE group (many (user, time-bucket) keys at
+    once, vectorized with ``merge_asof(by=[user, tbucket])`` — a
+    per-fine-key map_groups pays ~ms of pandas overhead per group,
+    which at users x buckets groups dominated the join).  Emits three
+    row kinds in one schema: kind 0 = FINAL matched left rows (a
+    within-bucket match is always more recent than anything in an
+    earlier bucket); kind 1 = unmatched left stubs (their match, if
+    any, lives in an earlier bucket); kind 2 = each (user, bucket)'s
+    latest right event (ties on ts break to the larger event_id)."""
     left = g[g["side"] == 0]
     right = g[g["side"] == 1]
-    if left.empty or right.empty:
-        return _ASOF_EMPTY.copy()
-    left = left.sort_values("ts", kind="stable")
-    right = right.sort_values(["ts", "event_id"], kind="stable")
-    right = right.rename(columns={"event_id": "click_event_id"})
-    right = right.assign(click_ts=right["ts"])
-    j = pd.merge_asof(
-        left[["event_id", "user_id", "ts"]],
-        right[["user_id", "ts", "click_event_id", "click_ts"]],
-        on="ts", by="user_id", direction="backward",
-        allow_exact_matches=True,
-    )
-    j = j[j["click_event_id"].notna()]
-    if j.empty:
-        return _ASOF_EMPTY.copy()
-    j = j.assign(
-        click_event_id=j["click_event_id"].astype("int64"),
-        gap_us=((j["ts"] - j["click_ts"]) // pd.Timedelta(microseconds=1)
-                ).astype("int64"),
-    )
-    return j[["event_id", "user_id", "ts", "click_event_id", "click_ts",
-              "gap_us"]]
+    parts = []
+    if not left.empty and not right.empty:
+        ls = left.sort_values("ts", kind="stable")
+        rs = right.sort_values(["ts", "event_id"], kind="stable")
+        rs = rs.rename(columns={"event_id": "click_event_id"})
+        rs = rs.assign(click_ts=rs["ts"])
+        j = pd.merge_asof(
+            ls[["event_id", "user_id", "tbucket", "ts"]],
+            rs[["user_id", "tbucket", "ts", "click_event_id", "click_ts"]],
+            on="ts", by=["user_id", "tbucket"],
+            direction="backward", allow_exact_matches=True,
+        )
+        m = j["click_event_id"].notna()
+        matched, un = j[m], j[~m]
+        if not matched.empty:
+            parts.append(pd.DataFrame(
+                {
+                    "kind": np.int64(0),
+                    "tbucket": matched["tbucket"],
+                    "user_id": matched["user_id"],
+                    "event_id": matched["event_id"].astype("int64"),
+                    "ts": matched["ts"],
+                    "click_event_id":
+                        matched["click_event_id"].astype("int64"),
+                    "click_ts": matched["click_ts"],
+                }
+            ))
+    else:
+        un = left
+    if not un.empty:
+        parts.append(pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "tbucket": un["tbucket"],
+                "user_id": un["user_id"],
+                "event_id": un["event_id"].astype("int64"),
+                "ts": un["ts"],
+                "click_event_id": np.int64(-1),
+                "click_ts": pd.NaT,
+            }
+        ))
+    if not right.empty:
+        latest = right.sort_values(["ts", "event_id"], kind="stable"
+                                   ).drop_duplicates(["user_id", "tbucket"],
+                                                     keep="last")
+        parts.append(pd.DataFrame(
+            {
+                "kind": np.int64(2),
+                "tbucket": latest["tbucket"],
+                "user_id": latest["user_id"],
+                "event_id": np.int64(-1),
+                "ts": latest["ts"],
+                "click_event_id": latest["event_id"].astype("int64"),
+                "click_ts": latest["ts"],
+            }
+        ))
+    if not parts:
+        return _ASOF_STAGE1_EMPTY.copy()
+    return pd.concat(parts, ignore_index=True).astype(_ASOF_STAGE1_DTYPES)
 
 
-_ASOF_EMPTY = pd.DataFrame(
+_ASOF_STAGE1_DTYPES = {
+    "kind": "int64", "tbucket": "int64", "user_id": "int64",
+    "event_id": "int64", "ts": "datetime64[us]",
+    "click_event_id": "int64", "click_ts": "datetime64[us]",
+}
+_ASOF_STAGE1_EMPTY = pd.DataFrame(
+    {c: pd.Series(dtype=t) for c, t in _ASOF_STAGE1_DTYPES.items()}
+)
+
+
+def _asof_stitch(g: pd.DataFrame) -> pd.DataFrame:
+    """Match ONE user's unmatched left stubs against the prefix-latest
+    right event across earlier buckets.  Group contents are stubs and
+    one summary per active bucket — never the user's raw event history
+    (same bounding idea as the sessionize stitch)."""
+    summaries = g[g["kind"] == 2].sort_values("tbucket", kind="stable")
+    lefts = g[g["kind"] == 1]
+    if lefts.empty or summaries.empty:
+        return _ASOF_OUT_EMPTY.copy()
+    # prefix-latest right per bucket boundary ((ts, event_id) lexicographic
+    # max; one summary per bucket, buckets ascending, so a running max)
+    buckets, b_ts, b_id = [], [], []
+    cur = None
+    for r in summaries.itertuples():
+        cand = (r.click_ts, r.click_event_id)
+        cur = cand if cur is None or cand > cur else cur
+        buckets.append(r.tbucket)
+        b_ts.append(cur[0])
+        b_id.append(cur[1])
+    # each stub takes the latest right from STRICTLY EARLIER buckets
+    # (its own bucket was already searched in stage 1)
+    idx = np.searchsorted(np.asarray(buckets), lefts["tbucket"].to_numpy(),
+                          side="left") - 1
+    ok = idx >= 0
+    if not ok.any():
+        return _ASOF_OUT_EMPTY.copy()
+    lefts = lefts[ok]
+    idx = idx[ok]
+    return pd.DataFrame(
+        {
+            "event_id": lefts["event_id"].to_numpy(),
+            "user_id": lefts["user_id"].to_numpy(),
+            "ts": lefts["ts"].to_numpy(),
+            "click_event_id": np.asarray(b_id, dtype="int64")[idx],
+            "click_ts": np.asarray(b_ts, dtype="datetime64[us]")[idx],
+        }
+    )
+
+
+_ASOF_OUT_EMPTY = pd.DataFrame(
     {
         "event_id": pd.Series(dtype="int64"),
         "user_id": pd.Series(dtype="int64"),
         "ts": pd.Series(dtype="datetime64[us]"),
         "click_event_id": pd.Series(dtype="int64"),
         "click_ts": pd.Series(dtype="datetime64[us]"),
-        "gap_us": pd.Series(dtype="int64"),
     }
 )
 
 
-def asof_join(sf_dir: str, left_type: str = "purchase",
-              right_type: str = "click") -> "ray.data.Dataset":
-    """For each ``left_type`` event, the same user's most recent
-    ``right_type`` event at-or-before its timestamp (inner as-of join).
+def _asof_finalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.assign(
+        gap_us=((df["ts"] - df["click_ts"]) // pd.Timedelta(microseconds=1)
+                ).astype("int64"))
+    return df[["event_id", "user_id", "ts", "click_event_id", "click_ts",
+               "gap_us"]]
 
-    Scale shape: both sides are hash-bucketed on ``user_id % K`` (K from
-    the cluster size) in ONE tagged dataset, so a single
-    ``groupby(bucket)`` shuffle co-locates each key's full history;
-    inside a bucket the join is a sorted backward search, O(n log n) in
-    the bucket.  A key never spans buckets, and bucket count scales with
-    the cluster — the pattern holds at 100 TB as long as one key's
-    history fits one task (same bound as any per-key window).
 
-    Columns: event_id, user_id, ts, click_event_id, click_ts,
-    gap_us (int64 microseconds, exact).
-    """
-    nbuckets = shuffle_width(min_width=16)
+def _asof_tagger(left_type: str, right_type: str, span_us: int,
+                 width: int):
+    """Batch tagger: side, time bucket, and the COARSE shuffle key
+    (hash of (user, tbucket) so group count scales with the cluster,
+    not with users x buckets; a fine key never splits coarse groups)."""
 
     def tag(batch: pa.Table) -> pd.DataFrame:
         df = batch.select(["event_id", "user_id", "ts", "event_type"]
                           ).to_pandas()
         df = df[df["event_type"].isin([left_type, right_type])]
+        ts_us = df["ts"].astype("int64")
+        tbucket = (ts_us // span_us).astype("int64")
+        coarse = ((df["user_id"] * np.int64(0x9E3779B1) + tbucket)
+                  % width).astype("int64")
         return pd.DataFrame(
             {
                 "event_id": df["event_id"],
@@ -111,23 +204,68 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                 "ts": df["ts"],
                 "side": np.where(df["event_type"] == left_type, 0, 1
                                  ).astype("int64"),
-                "bucket": (df["user_id"] % nbuckets).astype("int64"),
+                "tbucket": tbucket,
+                "coarse": coarse,
             }
         )
 
-    # output is one row per left event — the same order of magnitude as
-    # the input, so it stays a streaming Dataset (consume with
-    # write_parquet / iter_batches); no driver-side materialization
-    return (
+    return tag
+
+
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click") -> "ray.data.Dataset":
+    """For each ``left_type`` event, the same user's most recent
+    ``right_type`` event at-or-before its timestamp (inner as-of join).
+
+    Scale shape: events group on (user_id, 24 h time bucket) — like the
+    sessionize guard, one bot-grade hot user cannot route an unbounded
+    history into a single pandas group.  A within-bucket match is FINAL
+    (it is always more recent than anything in an earlier bucket) and
+    never reshuffles; only unmatched left STUBS plus one latest-right
+    summary per active bucket reach the per-user stitch, which walks
+    the prefix-latest right across bucket seams.  Keys never split
+    across groups; group sizes are bounded by one bucket's activity
+    (stage 1) or by stubs + summaries (stage 2), never by a user's raw
+    history.
+
+    Columns: event_id, user_id, ts, click_event_id, click_ts,
+    gap_us (int64 microseconds, exact).
+
+    Note the deliberate tradeoff: stage 1 feeds BOTH branches of the
+    union, and staying lazy means Ray re-executes it once per branch
+    (kept streaming-pure rather than a mid-pipeline ``materialize()``
+    of a non-small intermediate; at extreme scale, checkpoint stage 1
+    to parquet and read it back for both branches instead).
+    """
+    span_us = ASOF_BUCKET_HOURS * 3600 * US_PER_SEC
+    width = shuffle_width(min_width=16)
+
+    stage1 = (
         read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "event_type"],
         )
-        .map_batches(tag, batch_format="pyarrow", batch_size=65536)
-        .groupby("bucket")
-        .map_groups(lambda g: _asof_bucket(g.drop(columns=["bucket"])),
+        .map_batches(_asof_tagger(left_type, right_type, span_us, width),
+                     batch_format="pyarrow", batch_size=65536)
+        .groupby("coarse")
+        .map_groups(lambda g: _asof_local(g.drop(columns=["coarse"])),
                     batch_format="pandas")
     )
+    matched = stage1.map_batches(
+        lambda df: _asof_finalize(
+            df[df["kind"] == 0].drop(columns=["kind", "tbucket"])),
+        batch_format="pandas",
+    )
+    stitched = (
+        stage1.map_batches(lambda df: df[df["kind"] != 0],
+                           batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(_asof_stitch, batch_format="pandas")
+        .map_batches(_asof_finalize, batch_format="pandas")
+    )
+    # output is one row per matched left event — stays a streaming
+    # Dataset (consume with write_parquet / iter_batches)
+    return matched.union(stitched)
 
 
 # ---------------------------------------------------------------------------

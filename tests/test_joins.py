@@ -113,3 +113,74 @@ def test_sliding_window_partials_combine(tmp_path, ray_session):
     assert len(out) == 4
     assert (out["n_events"] == 2).all()
     assert np.allclose(out["sum_value"], 3.0)
+
+
+def test_asof_carry_in_across_time_buckets(tmp_path, ray_session):
+    # click 3 days (3 buckets) before the purchase, nothing in between:
+    # the per-user stitch must carry the latest earlier-bucket right in.
+    # A second, even older click must lose to the more recent one, and a
+    # click AFTER the purchase (in a later bucket) must never match.
+    sf = _write_events(
+        tmp_path,
+        [
+            (10, "2026-01-01 08:00:00", 1, "click", 0.0),
+            (11, "2026-01-02 09:00:00", 1, "click", 0.0),
+            (20, "2026-01-05 12:00:00", 1, "purchase", 1.0),
+            (30, "2026-01-07 00:00:00", 1, "click", 0.0),
+        ],
+    )
+    out = joins.asof_join(sf).to_pandas()
+    assert len(out) == 1
+    assert out["event_id"].iloc[0] == 20
+    assert out["click_event_id"].iloc[0] == 11
+    assert out["gap_us"].iloc[0] == 3 * 24 * 3600 * 1_000_000 + 3 * 3600 * 1_000_000
+
+
+def test_asof_in_bucket_match_beats_carry_in(tmp_path, ray_session):
+    # a click in the purchase's own bucket is more recent than any
+    # carried-in click from earlier buckets
+    sf = _write_events(
+        tmp_path,
+        [
+            (10, "2026-01-01 08:00:00", 1, "click", 0.0),
+            (11, "2026-01-05 10:00:00", 1, "click", 0.0),
+            (20, "2026-01-05 12:00:00", 1, "purchase", 1.0),
+        ],
+    )
+    out = joins.asof_join(sf).to_pandas()
+    assert list(out["click_event_id"]) == [11]
+
+
+def test_asof_hot_user_groups_stay_bounded(tmp_path, ray_session):
+    # one bot user with events spread over many buckets: every stage-1
+    # group holds one bucket's activity, and the result still matches a
+    # serial reference computation
+    import numpy as np
+
+    n = 20_000
+    rng = np.random.RandomState(3)
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 30 * 24 * 3600, n)), unit="s")
+    kinds = np.where(np.arange(n) % 5 == 0, "purchase", "click")
+    rows = [(i, t, 1, k, 0.0) for i, (t, k) in enumerate(zip(ts, kinds))]
+    sf = _write_events(tmp_path, rows)
+    out = joins.asof_join(sf).to_pandas().sort_values("event_id"
+                                                      ).reset_index(drop=True)
+    # serial reference: most recent click at-or-before each purchase
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    clicks = df[df["event_type"] == "click"].sort_values(
+        ["ts", "event_id"], kind="stable")
+    purch = df[df["event_type"] == "purchase"].sort_values("ts",
+                                                           kind="stable")
+    ref = pd.merge_asof(purch[["event_id", "ts"]],
+                        clicks[["ts", "event_id"]].rename(
+                            columns={"event_id": "click_event_id"}),
+                        on="ts", direction="backward")
+    ref = ref[ref["click_event_id"].notna()]
+    assert len(out) == len(ref)
+    merged = out.merge(ref[["event_id", "click_event_id"]], on="event_id",
+                       suffixes=("", "_ref"))
+    assert (merged["click_event_id"]
+            == merged["click_event_id_ref"].astype("int64")).all()
