@@ -126,29 +126,36 @@ _ASOF_STAGE1_EMPTY = pd.DataFrame(
 
 
 def _asof_stitch(g: pd.DataFrame) -> pd.DataFrame:
-    """Match ONE user's unmatched left stubs against the prefix-latest
-    right event across earlier buckets.  Group contents are stubs and
-    one summary per active bucket — never the user's raw event history
-    (same bounding idea as the sessionize stitch)."""
-    summaries = g[g["kind"] == 2].sort_values("tbucket", kind="stable")
+    """Match unmatched left stubs against each user's latest earlier-
+    bucket right event, VECTORIZED across every user in one coarse
+    group.  Because time buckets partition the timeline, per-user
+    summary timestamps ascend with tbucket, so the prefix-latest right
+    for a stub in bucket t is simply the summary with the largest
+    tbucket < t — one searchsorted over (user-rank, tbucket) keys, no
+    per-user loop (per-user map_groups paid ~ms per group; at 10^5
+    users that dominated the join).  Group contents are stubs and
+    per-bucket summaries — never a user's raw event history."""
+    summaries = g[g["kind"] == 2]
     lefts = g[g["kind"] == 1]
     if lefts.empty or summaries.empty:
         return _ASOF_OUT_EMPTY.copy()
-    # prefix-latest right per bucket boundary ((ts, event_id) lexicographic
-    # max; one summary per bucket, buckets ascending, so a running max)
-    buckets, b_ts, b_id = [], [], []
-    cur = None
-    for r in summaries.itertuples():
-        cand = (r.click_ts, r.click_event_id)
-        cur = cand if cur is None or cand > cur else cur
-        buckets.append(r.tbucket)
-        b_ts.append(cur[0])
-        b_id.append(cur[1])
-    # each stub takes the latest right from STRICTLY EARLIER buckets
-    # (its own bucket was already searched in stage 1)
-    idx = np.searchsorted(np.asarray(buckets), lefts["tbucket"].to_numpy(),
-                          side="left") - 1
-    ok = idx >= 0
+    # dense user ranks shared by both sides -> packable sort keys
+    users = np.unique(np.concatenate([summaries["user_id"].to_numpy(),
+                                      lefts["user_id"].to_numpy()]))
+    s_rank = np.searchsorted(users, summaries["user_id"].to_numpy())
+    l_rank = np.searchsorted(users, lefts["user_id"].to_numpy())
+    SHIFT = np.int64(1) << np.int64(22)  # tbucket < 2^22 until year 13000
+    s_key = s_rank.astype("int64") * SHIFT + summaries["tbucket"].to_numpy()
+    l_key = l_rank.astype("int64") * SHIFT + lefts["tbucket"].to_numpy()
+    order = np.argsort(s_key, kind="stable")
+    s_key = s_key[order]
+    s_ts = summaries["click_ts"].to_numpy()[order]
+    s_id = summaries["click_event_id"].to_numpy()[order]
+    # last summary with key strictly below the stub's (user, bucket) key;
+    # reject hits that fell into the previous user's range
+    idx = np.searchsorted(s_key, l_key, side="left") - 1
+    ok = (idx >= 0) & ((s_key[np.clip(idx, 0, None)] // SHIFT)
+                       == l_key // SHIFT)
     if not ok.any():
         return _ASOF_OUT_EMPTY.copy()
     lefts = lefts[ok]
@@ -158,8 +165,8 @@ def _asof_stitch(g: pd.DataFrame) -> pd.DataFrame:
             "event_id": lefts["event_id"].to_numpy(),
             "user_id": lefts["user_id"].to_numpy(),
             "ts": lefts["ts"].to_numpy(),
-            "click_event_id": np.asarray(b_id, dtype="int64")[idx],
-            "click_ts": np.asarray(b_ts, dtype="datetime64[us]")[idx],
+            "click_event_id": s_id[idx].astype("int64"),
+            "click_ts": s_ts[idx].astype("datetime64[us]"),
         }
     )
 
@@ -257,10 +264,14 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
         batch_format="pandas",
     )
     stitched = (
-        stage1.map_batches(lambda df: df[df["kind"] != 0],
-                           batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(_asof_stitch, batch_format="pandas")
+        stage1.map_batches(
+            lambda df: df[df["kind"] != 0].assign(
+                ucoarse=(df[df["kind"] != 0]["user_id"] % width
+                         ).astype("int64")),
+            batch_format="pandas")
+        .groupby("ucoarse")
+        .map_groups(lambda g: _asof_stitch(g.drop(columns=["ucoarse"])),
+                    batch_format="pandas")
         .map_batches(_asof_finalize, batch_format="pandas")
     )
     # output is one row per matched left event — stays a streaming
