@@ -238,11 +238,10 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     Columns: event_id, user_id, ts, click_event_id, click_ts,
     gap_us (int64 microseconds, exact).
 
-    Note the deliberate tradeoff: stage 1 feeds BOTH branches of the
-    union, and staying lazy means Ray re-executes it once per branch
-    (kept streaming-pure rather than a mid-pipeline ``materialize()``
-    of a non-small intermediate; at extreme scale, checkpoint stage 1
-    to parquet and read it back for both branches instead).
+    Stage 1 feeds BOTH branches of the union; Ray's plan cache shares
+    its execution between them (``ds.stats()`` shows the second
+    branch's read/tag/sort as "[execution cached]"), so the diamond
+    costs one pass without a mid-pipeline ``materialize()``.
     """
     span_us = ASOF_BUCKET_HOURS * 3600 * US_PER_SEC
     width = shuffle_width(min_width=16)
