@@ -173,3 +173,15 @@ def test_container_walks_terminate_on_corrupt_bytes():
     ]
     for i, (base, fn) in enumerate(cases):
         _fuzz(base, fn, trials=25, seed=400 + i)
+
+
+def test_html_extractor_terminates_on_corrupt_bytes():
+    from img2table_ray.extract.html_content import (main_content,
+                                                    wrap_boilerplate)
+
+    base = wrap_boilerplate(3, "some words of real content " * 8)
+
+    def fn(payload: bytes) -> None:
+        main_content(payload.decode("utf-8", "replace"))
+
+    _fuzz(base.encode(), fn, trials=40, seed=500)
