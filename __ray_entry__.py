@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": docops.doc_fingerprint,
         "deterministic_sample": docops.deterministic_sample,
         "main_content": docops.main_content,
+        "decontaminate": docops.decontaminate,
+        "pii_scrub": docops.pii_scrub,
+        "url_canonicalize": docops.url_canonicalize,
         # --- deduplication family ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -94,6 +97,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "deterministic_sample": oracles.deterministic_sample_sql(),
         "main_content": oracles.main_content_sql(),
+        "decontaminate": oracles.decontaminate_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(),
+        "url_canonicalize": oracles.url_canonicalize_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_sql(),
         "minhash_dedup": oracles.minhash_dedup_sql(),

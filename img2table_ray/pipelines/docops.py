@@ -227,6 +227,129 @@ def deterministic_sample(sf_dir: str, pct: int = SAMPLE_PCT
     )
 
 
+# --- benchmark decontamination -------------------------------------------
+# Benchmark membership rule (mirrored by the oracle SQL): a fixed, cheap
+# predicate on doc_id stands in for "the eval set" — in production this is
+# a separate small table of benchmark documents.
+DECON_BENCH_MOD = 29
+DECON_N = 5  # word n-gram size
+
+
+def _word_ngrams(text: str, n: int = DECON_N) -> list[str]:
+    ws = re.findall(_WORD_RE, text.lower())
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``DECON_N``-gram with the benchmark set (doc_id % DECON_BENCH_MOD == 0).
+
+    The canonical training-data shape: the benchmark side is SMALL (an
+    eval set is MBs where the corpus is TBs), so it is collected once on
+    the driver as a frozenset of n-grams — bounded by the benchmark's
+    size, never the corpus — broadcast via ``ray.put``, and the corpus
+    streams through ONE vectorized ``map_batches`` probing the set.  No
+    shuffle, no join; at 100 TB only the benchmark grams move (once per
+    node, via the object store).
+
+    Columns: doc_id, n_hits (distinct contaminated n-grams), contaminated
+    (0/1 int64).  Benchmark documents flag themselves by construction —
+    exactly what a decontamination pass should report.
+    """
+    import ray
+
+    bench_grams: set[str] = set()
+    bench = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b[(b["doc_id"] % DECON_BENCH_MOD) == 0],
+        batch_format="pandas", batch_size=4096,
+    )
+    # per-batch local gram sets -> driver union: the collected payload is
+    # O(|benchmark grams|), already deduped per batch
+    for batch in bench.iter_batches(batch_format="pandas", batch_size=4096):
+        for text in batch["text"]:
+            bench_grams.update(_word_ngrams(text))
+    grams_ref = ray.put(frozenset(bench_grams))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(grams_ref)  # zero-copy object-store read per task
+        hits = np.fromiter(
+            (len(set(_word_ngrams(t)) & grams) for t in batch["text"]),
+            dtype="int64", count=len(batch),
+        )
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_hits": hits,
+            "contaminated": (hits > 0).astype("int64"),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII scrubbing counts over the corpus (emails / phones / IPv4s).
+
+    The synthetic corpus carries no PII, so each document is wrapped with
+    deterministic injected PII keyed on doc_id
+    (``functions.pii.inject_pii`` — same seeded-harness pattern as
+    ``main_content``) and the REAL regex scrubber
+    (``functions.pii.scrub_text``) must find and redact exactly what was
+    injected.  The oracle mirrors the injection rule; the scrubber's
+    behavior on adversarial text is pinned in ``tests/test_pii_url.py``.
+
+    Columns: doc_id, n_emails, n_phones, n_ipv4 — counts only, so the
+    oracle compare stays hash-exact (the redacted text itself is pinned
+    by the unit-test goldens, not by SQL).
+    """
+    from img2table_ray.functions.pii import inject_pii, scrub_text
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n_e, n_p, n_i = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            _, ne, ni, np_ = scrub_text(inject_pii(int(d), t))
+            n_e.append(ne)
+            n_i.append(ni)
+            n_p.append(np_)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_emails": pd.Series(n_e, dtype="int64"),
+            "n_phones": pd.Series(n_p, dtype="int64"),
+            "n_ipv4": pd.Series(n_i, dtype="int64"),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def url_canonicalize(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-URL canonicalization: each doc gets a deterministic messy URL
+    (``functions.urlnorm.messy_url`` — mixed-case scheme/host, default
+    port, dot-segments, percent-encoded unreserved chars, directory-index
+    filename, utm tracking params, out-of-order query, fragment) and the
+    REAL RFC-3986 normalizer (``functions.urlnorm.canonical_url``) must
+    reduce it to the canonical form the oracle reconstructs from doc_id.
+
+    Columns: doc_id, url (canonical), host.  Pure streaming map — the
+    canonical url is the dedup/groupby key downstream pipelines use.
+    """
+    from img2table_ray.functions.urlnorm import canonical_url, messy_url
+    from urllib.parse import urlsplit
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = [canonical_url(messy_url(int(d))) for d in batch["doc_id"]]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "url": urls,
+            "host": [urlsplit(u).hostname for u in urls],
+        })
+
+    return _read_documents(sf_dir, ["doc_id"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
 def main_content(sf_dir: str) -> ray.data.Dataset:
     """HTML boilerplate strip via DOM heuristics (north-rule surface):
     each document's text is embedded in seeded realistic boilerplate

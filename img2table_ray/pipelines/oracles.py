@@ -403,3 +403,56 @@ def main_content_sql() -> str:
     return """
 SELECT doc_id, text AS main_text FROM documents
 """
+
+
+def decontaminate_sql(bench_mod: int = 29, n: int = 5) -> str:
+    """Recomputes the word n-gram overlap against the benchmark subset as
+    a real join (the Ray side broadcasts the benchmark gram set instead)."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+  FROM words, UNNEST(range(1, len(ws) - {n - 2})) AS t(i)
+  WHERE len(ws) >= {n}
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0
+), hits AS (
+  SELECT gr.doc_id, count(DISTINCT gr.g)::BIGINT AS n_hits
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (COALESCE(h.n_hits, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Mirrors the deterministic injection rule of
+    ``functions.pii.inject_pii`` — the scrubber must find exactly what was
+    injected (regex behavior itself is golden-pinned in unit tests)."""
+    return """
+SELECT doc_id,
+       (doc_id % 3)::BIGINT AS n_emails,
+       (doc_id % 2)::BIGINT AS n_phones,
+       ((doc_id + 1) % 2)::BIGINT AS n_ipv4
+FROM documents
+"""
+
+
+def url_canonicalize_sql() -> str:
+    """Reconstructs the expected canonical URL from doc_id by mirroring
+    ``functions.urlnorm.messy_url``'s generation rule through every
+    normalization step (lowercase, default-port strip, dot-segment
+    resolution, %61 -> 'a' decode, index.html drop, utm_* drop, query
+    sort, fragment drop)."""
+    return """
+SELECT doc_id,
+       'https://www.site' || (doc_id % 7) || '.com/a/' || doc_id ||
+       '/base/?a=r' || (doc_id % 4) || '&z=' || (doc_id % 13) AS url,
+       'www.site' || (doc_id % 7) || '.com' AS host
+FROM documents
+"""
