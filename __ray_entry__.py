@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "nation_revenue": relational.nation_revenue,
+        "json_props_agg": relational.json_props_agg,
         "group_quantiles": relational.group_quantiles,
         "distinct_users_daily": relational.distinct_users_daily,
         "top_orders_per_nation": relational.top_orders_per_nation,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.pricing_summary_sql(),
         "events_hourly": oracles.events_hourly_sql(),
         "nation_revenue": oracles.nation_revenue_sql(),
+        "json_props_agg": oracles.json_props_agg_sql(),
         "group_quantiles": oracles.group_quantiles_sql(),
         "distinct_users_daily": oracles.distinct_users_daily_sql(),
         "top_orders_per_nation": oracles.top_orders_per_nation_sql(),

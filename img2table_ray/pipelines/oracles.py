@@ -443,6 +443,19 @@ FROM documents
 """
 
 
+def json_props_agg_sql() -> str:
+    """Same JSON extraction + bucketing + integer-cents aggregation via
+    DuckDB's native json functions."""
+    return """
+SELECT event_type,
+       (CAST(json_extract(props, '$.k') AS BIGINT) // 10) AS k_bucket,
+       count(*)::BIGINT AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
 def url_canonicalize_sql() -> str:
     """Reconstructs the expected canonical URL from doc_id by mirroring
     ``functions.urlnorm.messy_url``'s generation rule through every

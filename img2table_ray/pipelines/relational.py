@@ -108,6 +108,51 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def json_props_agg(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column, bucket
+    the extracted field, aggregate per (event_type, bucket).
+
+    The shape every event-log pipeline needs: JSON parsing is per-row by
+    nature but stays inside ``map_batches`` (vectorized-adjacent, one
+    combiner row per key per batch), so the shuffle moves O(keys x
+    batches) partials, never raw events.  Money-style values are summed
+    as integer cents (``floor(v*100 + 0.5)``, the identical float op on
+    both engines) so the hash compare is order-independent and exact.
+
+    Columns: event_type, k_bucket (k // 10), n_events, sum_cents.
+    """
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            dtype="int64", count=batch.num_rows,
+        )
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "k_bucket": ks // 10,
+            "cents": np.floor(
+                batch["value"].to_numpy() * 100 + 0.5
+            ).astype("int64"),
+        })
+        g = df.groupby(["event_type", "k_bucket"], as_index=False).agg(
+            p_n=("cents", "size"), p_sum=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = ds.repartition(1).groupby(["event_type", "k_bucket"]).aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="sum_cents")
+    )
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df[["event_type", "k_bucket", "n_events", "sum_cents"]]
+
+
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
     """Broadcast-join demo: orders x customer x nation -> revenue per nation.
 
