@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ann_topk",
+    "decontaminate",
+    "json_props_agg",
+    "pii_scrub",
+    "url_canonicalize",
     "pricing_summary",
     "events_hourly",
     "asof_join",

@@ -28,45 +28,15 @@ class PngError(ValueError):
     pass
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes -> (H, W, 3) uint8 RGB array."""
-    if data[:8] != _SIG:
-        raise PngError("not a PNG file")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat = []
-    palette = None
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(chunk)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise PngError("missing IHDR")
-    check_dims(width, height, "PNG")
-    if bit_depth != 8:
-        raise PngError(f"unsupported bit depth {bit_depth}")
-    if interlace != 0:
-        raise PngError("interlaced PNG not supported")
-
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise PngError(f"unsupported color type {color_type}")
-
+def unfilter_idat(compressed: bytes, width: int, height: int,
+                  channels: int) -> np.ndarray:
+    """Inflate + reconstruct filtered scanlines (PNG spec §6: None/Sub/Up/
+    Average/Paeth) -> (H, W, channels) uint8.  Shared by whole-image
+    decode and APNG frame-region decode (frame data is an independent
+    filtered stream over the region's own dimensions)."""
     stride = width * channels
     expected = height * (stride + 1)
-    raw = bounded_decompress(b"".join(idat), expected, "PNG IDAT")
+    raw = bounded_decompress(compressed, expected, "PNG IDAT")
     if len(raw) < expected:
         raise PngError("truncated image data")
     raw = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(height, stride + 1)
@@ -120,7 +90,46 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = rec
         prev = rec.astype(np.int32)
 
-    img = out.reshape(height, width, channels)
+    return out.reshape(height, width, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes -> (H, W, 3) uint8 RGB array."""
+    if data[:8] != _SIG:
+        raise PngError("not a PNG file")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    palette = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PngError("missing IHDR")
+    check_dims(width, height, "PNG")
+    if bit_depth != 8:
+        raise PngError(f"unsupported bit depth {bit_depth}")
+    if interlace != 0:
+        raise PngError("interlaced PNG not supported")
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise PngError(f"unsupported color type {color_type}")
+
+    img = unfilter_idat(b"".join(idat), width, height, channels)
     if color_type == 0:
         return np.repeat(img, 3, axis=2)
     if color_type == 2:

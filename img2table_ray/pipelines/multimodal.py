@@ -577,6 +577,29 @@ class VideoFrameSampleStage:
                      + 0.114 * img[..., 2]) / 255.0
                 lumas.append(round(float(y.mean()), 6))
             return round(duration, 3), round(fps, 3), n_frames, lumas
+        from img2table_ray.imgops.apng import is_apng
+
+        if is_apng(data):
+            # animated PNG: the other codec-free web animation format.
+            # Like GIF, frames are region DELTAS (dispose/blend ops), so
+            # the decoder composes full canvases before sampling.  A
+            # STILL png falls through to the unsupported/fake tail — an
+            # image is not a video payload.
+            from img2table_ray.imgops.apng import apng_frames
+
+            frames, delays = apng_frames(data, max_frames=512)
+            n_frames = len(frames)
+            duration = sum(delays) or 0.1 * n_frames
+            fps = n_frames / duration
+            idx = np.unique(np.linspace(
+                0, n_frames - 1, min(self._n, n_frames)).round().astype(int))
+            lumas = []
+            for i in idx:
+                img = frames[int(i)].astype(np.float64)
+                y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                     + 0.114 * img[..., 2]) / 255.0
+                lumas.append(round(float(y.mean()), 6))
+            return round(duration, 3), round(fps, 3), n_frames, lumas
         if len(data) > 8 and data[4:8] == b"ftyp":
             # ISO-BMFF (MP4/MOV): MJPEG-coded tracks decode for REAL
             # (sample tables locate each JPEG, imgops/isobmff.py:
@@ -755,24 +778,26 @@ def video_frames(sf_dir: str) -> ray.data.Dataset:
     n = SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)),
                     DEFAULT_ROWS) // 2
     def payload(i: int) -> bytes:
-        kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4", "WEBM")[i % 6]
+        kind = ("DIB", "MJPG", "RLE8", "GIFA", "MP4", "WEBM", "APNG")[i % 7]
         if kind == "MP4":  # ISO-BMFF: MJPEG (real decode) / avc1 metadata
             from img2table_ray.imgops.isobmff import (synth_mp4,
                                                       synth_mp4_mjpeg)
 
-            return synth_mp4_mjpeg(i) if (i // 6) % 2 else synth_mp4(i)
+            return synth_mp4_mjpeg(i) if (i // 7) % 2 else synth_mp4(i)
         if kind == "WEBM":  # Matroska: MJPEG (real decode) / VP9 metadata
             from img2table_ray.imgops.matroska import (synth_webm,
                                                        synth_webm_mjpeg)
 
-            return synth_webm_mjpeg(i) if (i // 6) % 2 else synth_webm(i)
+            return synth_webm_mjpeg(i) if (i // 7) % 2 else synth_webm(i)
         if kind == "GIFA":  # animated GIF (real full decode)
             return synth_gif_anim(i)
+        if kind == "APNG":  # animated PNG (real full decode)
+            return synth_apng(i)
         return synth_avi(i, kind)
 
-    exts = {3: "gif", 4: "mp4", 5: "webm"}
+    exts = {3: "gif", 4: "mp4", 5: "webm", 6: "png"}
     rows = [{"url": f"https://video.example/{i:06d}."
-                    f"{exts.get(i % 6, 'avi')}",
+                    f"{exts.get(i % 7, 'avi')}",
              "video": payload(i)} for i in range(n)]
     ds = ray.data.from_items(rows)
     return ds.map_batches(
@@ -801,6 +826,38 @@ def synth_gif_anim(seed: int) -> bytes:
         img[y0 : y0 + 8, x0 : x0 + 8] = 255
         frames.append(img)
     return encode_gif_anim(frames, [delay_cs] * n_frames)
+
+
+def synth_apng(seed: int) -> bytes:
+    """Deterministic animated PNG: seeded gradient+block family like
+    ``synth_avi``, first frame full-canvas, later frames sub-region
+    deltas over alternating dispose/blend ops — exercising the APNG
+    compositor end-to-end."""
+    from img2table_ray.imgops.apng import (BLEND_OVER, BLEND_SOURCE,
+                                           DISPOSE_BACKGROUND, DISPOSE_NONE,
+                                           encode_apng)
+
+    rng = np.random.RandomState(seed)
+    w, h = 48, 32
+    n_frames = 6 + seed % 5
+    delay = (1, 10 + seed % 3)
+    base = np.zeros((h, w, 4), np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    base[:, :, 1] = 30
+    base[:, :, 3] = 255
+    frames = [{"img": base, "delay": delay}]
+    for f in range(1, n_frames):
+        patch = np.zeros((8, 8, 4), np.uint8)
+        patch[:] = (255, (40 * f + 30) % 256, 0, 255 if f % 2 else 160)
+        frames.append({
+            "img": patch,
+            "x": int(rng.randint(0, w - 8)),
+            "y": int(rng.randint(0, h - 8)),
+            "delay": delay,
+            "dispose": DISPOSE_NONE if f % 3 else DISPOSE_BACKGROUND,
+            "blend": BLEND_SOURCE if f % 2 else BLEND_OVER,
+        })
+    return encode_apng((w, h), frames)
 
 
 def synth_wav(seed: int) -> bytes:

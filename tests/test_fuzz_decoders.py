@@ -175,6 +175,14 @@ def test_container_walks_terminate_on_corrupt_bytes():
         _fuzz(base, fn, trials=25, seed=400 + i)
 
 
+def test_apng_terminates_on_corrupt_bytes():
+    from img2table_ray.pipelines.multimodal import (VideoFrameSampleStage,
+                                                    synth_apng)
+
+    v = VideoFrameSampleStage()
+    _fuzz(synth_apng(11), v._decode, trials=40, seed=520)
+
+
 def test_html_extractor_terminates_on_corrupt_bytes():
     from img2table_ray.extract.html_content import (main_content,
                                                     wrap_boilerplate)

@@ -986,20 +986,21 @@ def test_video_frames_query(ray_session):
 
     df = video_frames("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 32
-    # AVI/GIF rows decode sampled frames, as do MJPEG-coded MP4/WebM
-    # rows (i%6 in (4,5) with odd i//6); avc1 MP4 and VP9 WebM rows
-    # are the metadata_only paths (container walks).  Derive i from the
-    # url (video.example/{i:06d}.ext) — Ray Data does not guarantee
+    # AVI/GIF/APNG rows decode sampled frames, as do MJPEG-coded
+    # MP4/WebM rows (i%7 in (4,5) with odd i//7); avc1 MP4 and VP9 WebM
+    # rows are the metadata_only paths (container walks).  Derive i from
+    # the url (video.example/{i:06d}.ext) — Ray Data does not guarantee
     # block order in to_pandas(), so positional df.index is flaky.
     i = df["url"].str.extract(r"/(\d{6})\.")[0].astype(int)
     mjpeg = (df["url"].str.endswith(".mp4")
-             | df["url"].str.endswith(".webm")) & ((i // 6) % 2 == 1)
+             | df["url"].str.endswith(".webm")) & ((i // 7) % 2 == 1)
     meta = (df["url"].str.endswith(".mp4")
             | df["url"].str.endswith(".webm")) & ~mjpeg
     assert (df.loc[~meta, "status"] == "ok").all()
     assert (df.loc[meta, "status"] == "metadata_only").all()
-    assert meta.sum() == 6 and mjpeg.sum() == 4
+    assert meta.sum() == 4 and mjpeg.sum() == 4
     assert df["url"].str.endswith(".gif").sum() == 5
+    assert df["url"].str.endswith(".png").sum() == 4  # animated PNG
     assert df.loc[mjpeg, "frame_lumas"].map(len).ge(1).all()
     assert (df["n_frames"] >= 6).all() and (df["fps"] >= 10).all()
     assert df.loc[~meta, "frame_lumas"].map(len).ge(1).all()
