@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": docops.doc_fingerprint,
         "deterministic_sample": docops.deterministic_sample,
         "main_content": docops.main_content,
+        "stratified_sample": docops.stratified_sample,
         "decontaminate": docops.decontaminate,
         "pii_scrub": docops.pii_scrub,
         "url_canonicalize": docops.url_canonicalize,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "deterministic_sample": oracles.deterministic_sample_sql(),
         "main_content": oracles.main_content_sql(),
+        "stratified_sample": oracles.stratified_sample_sql(),
         "decontaminate": oracles.decontaminate_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "url_canonicalize": oracles.url_canonicalize_sql(),

@@ -227,6 +227,36 @@ def deterministic_sample(sf_dir: str, pct: int = SAMPLE_PCT
     )
 
 
+# per-language sampling rates for stratified_sample (mirrored in SQL)
+STRATA_PCT = {"en": 20, "de": 50, "es": 80, "fr": 100}
+STRATA_DEFAULT_PCT = 10
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling — the corpus-rebalancing
+    primitive (e.g. downsample dominant languages, keep all of rare
+    ones).  Same md5(doc_id) keying as :func:`deterministic_sample`
+    (coordination-free, resume-stable), but the threshold is looked up
+    per row from the stratum column.  Pure streaming filter, no shuffle.
+    Columns: doc_id, lang, n_chars.
+    """
+    import hashlib
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        pcts = batch["lang"].map(
+            lambda l: STRATA_PCT.get(l, STRATA_DEFAULT_PCT)).to_numpy()
+        keys = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in batch["doc_id"]),
+            dtype="int64", count=len(batch),
+        )
+        return batch[keys < pcts]
+
+    return _read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
 # --- benchmark decontamination -------------------------------------------
 # Benchmark membership rule (mirrored by the oracle SQL): a fixed, cheap
 # predicate on doc_id stands in for "the eval set" — in production this is

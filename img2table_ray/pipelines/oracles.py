@@ -405,6 +405,21 @@ SELECT doc_id, text AS main_text FROM documents
 """
 
 
+def stratified_sample_sql() -> str:
+    """Mirrors docops.STRATA_PCT / STRATA_DEFAULT_PCT."""
+    from img2table_ray.pipelines.docops import (STRATA_DEFAULT_PCT,
+                                                STRATA_PCT)
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(STRATA_PCT.items())
+    )
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < (CASE lang {cases} ELSE {STRATA_DEFAULT_PCT} END)
+"""
+
+
 def decontaminate_sql(bench_mod: int = 29, n: int = 5) -> str:
     """Recomputes the word n-gram overlap against the benchmark subset as
     a real join (the Ray side broadcasts the benchmark gram set instead)."""

@@ -193,3 +193,12 @@ def test_html_extractor_terminates_on_corrupt_bytes():
         main_content(payload.decode("utf-8", "replace"))
 
     _fuzz(base.encode(), fn, trials=40, seed=500)
+
+
+def test_url_canonicalizer_terminates_on_corrupt_bytes():
+    from img2table_ray.functions.urlnorm import canonical_url, messy_url
+
+    def fn(payload: bytes) -> None:
+        canonical_url(payload.decode("utf-8", "replace"))
+
+    _fuzz(messy_url(42).encode(), fn, trials=40, seed=510)
