@@ -133,10 +133,12 @@ def apng_frames(data: bytes, max_frames: int = 512
             if seq != next_seq:
                 raise PngError("APNG sequence gap")
             next_seq += 1
+            if len(fctls) >= max_frames:
+                # cap reached: stop collecting; frames already gathered
+                # (with their data) still decode
+                break
             fctls.append((fw, fh, fx, fy, dnum, dden, dop, bop))
             datas.append([])
-            if len(fctls) > max_frames:
-                break
         elif ctype == b"IDAT":
             if not seen_idat:
                 # decided once, at the FIRST IDAT: it is animation frame 0

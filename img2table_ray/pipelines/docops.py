@@ -300,8 +300,16 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
             bench_grams.update(_word_ngrams(text))
     grams_ref = ray.put(frozenset(bench_grams))
 
+    # ray.get of a pickled Python set deserializes on every call — memo
+    # it once per worker process (same lifetime as the task pool), so the
+    # object store ships the grams once per node and each worker unpickles
+    # once, not once per batch
+    memo: dict = {}
+
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        grams = ray.get(grams_ref)  # zero-copy object-store read per task
+        grams = memo.get("g")
+        if grams is None:
+            grams = memo["g"] = ray.get(grams_ref)
         hits = np.fromiter(
             (len(set(_word_ngrams(t)) & grams) for t in batch["text"]),
             dtype="int64", count=len(batch),

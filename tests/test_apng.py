@@ -167,6 +167,13 @@ def test_sequence_gap_raises():
         apng_frames(bytes(bad))
 
 
+def test_max_frames_caps_instead_of_raising():
+    specs = [{"img": rgba(i, i, i, 255, 4, 4)} for i in range(6)]
+    frames, delays = apng_frames(encode_apng((4, 4), specs), max_frames=3)
+    assert len(frames) == 3 and len(delays) == 3
+    np.testing.assert_array_equal(frames[2], rgba(2, 2, 2, 255, 4, 4)[:, :, :3])
+
+
 def test_plain_png_is_not_apng():
     still = encode_png(np.zeros((4, 4, 3), np.uint8))
     assert not is_apng(still)
