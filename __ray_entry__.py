@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": docops.deterministic_sample,
         "main_content": docops.main_content,
         "stratified_sample": docops.stratified_sample,
+        "repetition_signals": docops.repetition_signals,
         "decontaminate": docops.decontaminate,
         "pii_scrub": docops.pii_scrub,
         "url_canonicalize": docops.url_canonicalize,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": oracles.deterministic_sample_sql(),
         "main_content": oracles.main_content_sql(),
         "stratified_sample": oracles.stratified_sample_sql(),
+        "repetition_signals": oracles.repetition_signals_sql(),
         "decontaminate": oracles.decontaminate_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "url_canonicalize": oracles.url_canonicalize_sql(),

@@ -227,6 +227,48 @@ def deterministic_sample(sf_dir: str, pct: int = SAMPLE_PCT
     )
 
 
+def repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by a few repeated n-grams are low-quality
+    boilerplate/spam.  Emits the integer numerators/denominators (the
+    downstream filter thresholds their ratios): per doc, total / distinct
+    / top-occurrence counts for word bigrams and trigrams.  One
+    vectorized-adjacent ``map_batches`` pass, no shuffle; all-int output
+    keeps the oracle hash exact.
+    """
+    from collections import Counter
+
+    def counts(ws: list[str], n: int) -> tuple[int, int, int]:
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0, 0, 0
+        c = Counter(grams)
+        return len(grams), len(c), max(c.values())
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": batch["doc_id"].astype("int64")}
+        cols = {k: [] for k in
+                ("n_bigrams", "n_distinct_bigrams", "top_bigram_n",
+                 "n_trigrams", "n_distinct_trigrams", "top_trigram_n")}
+        for text in batch["text"]:
+            ws = re.findall(_WORD_RE, text.lower())
+            t2, d2, m2 = counts(ws, 2)
+            t3, d3, m3 = counts(ws, 3)
+            cols["n_bigrams"].append(t2)
+            cols["n_distinct_bigrams"].append(d2)
+            cols["top_bigram_n"].append(m2)
+            cols["n_trigrams"].append(t3)
+            cols["n_distinct_trigrams"].append(d3)
+            cols["top_trigram_n"].append(m3)
+        for k, v in cols.items():
+            out[k] = pd.Series(v, dtype="int64")
+        return pd.DataFrame(out)
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
 # per-language sampling rates for stratified_sample (mirrored in SQL)
 STRATA_PCT = {"en": 20, "de": 50, "es": 80, "fr": 100}
 STRATA_DEFAULT_PCT = 10

@@ -405,6 +405,42 @@ SELECT doc_id, text AS main_text FROM documents
 """
 
 
+def repetition_signals_sql() -> str:
+    """Word bigram/trigram repetition numerators via the list-slicing
+    n-gram CTE; empty-gram docs get explicit zero rows."""
+
+    def gram_cte(n: int, tag: str) -> str:
+        return f"""
+g{tag} AS (
+  SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+  FROM words, UNNEST(range(1, len(ws) - {n - 2})) AS t(i)
+  WHERE len(ws) >= {n}
+), s{tag} AS (
+  SELECT doc_id, SUM(cnt)::BIGINT AS total,
+         count(*)::BIGINT AS uniq,
+         max(cnt)::BIGINT AS top
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM g{tag} GROUP BY doc_id, g)
+  GROUP BY doc_id
+)"""
+
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+), {gram_cte(2, "2")}, {gram_cte(3, "3")}
+SELECT d.doc_id,
+       COALESCE(s2.total, 0)::BIGINT AS n_bigrams,
+       COALESCE(s2.uniq, 0)::BIGINT AS n_distinct_bigrams,
+       COALESCE(s2.top, 0)::BIGINT AS top_bigram_n,
+       COALESCE(s3.total, 0)::BIGINT AS n_trigrams,
+       COALESCE(s3.uniq, 0)::BIGINT AS n_distinct_trigrams,
+       COALESCE(s3.top, 0)::BIGINT AS top_trigram_n
+FROM documents d
+LEFT JOIN s2 ON d.doc_id = s2.doc_id
+LEFT JOIN s3 ON d.doc_id = s3.doc_id
+"""
+
+
 def stratified_sample_sql() -> str:
     """Mirrors docops.STRATA_PCT / STRATA_DEFAULT_PCT."""
     from img2table_ray.pipelines.docops import (STRATA_DEFAULT_PCT,
