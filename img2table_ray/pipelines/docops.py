@@ -312,7 +312,11 @@ def _word_ngrams(text: str, n: int = DECON_N) -> list[str]:
     return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
 
 
-def decontaminate(sf_dir: str) -> ray.data.Dataset:
+MAX_BENCH_GRAMS = 50_000_000  # ~2-4 GB of driver/object-store footprint
+
+
+def decontaminate(sf_dir: str,
+                  max_bench_grams: int = MAX_BENCH_GRAMS) -> ray.data.Dataset:
     """Benchmark decontamination: flag corpus documents sharing any word
     ``DECON_N``-gram with the benchmark set (doc_id % DECON_BENCH_MOD == 0).
 
@@ -323,6 +327,12 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     streams through ONE vectorized ``map_batches`` probing the set.  No
     shuffle, no join; at 100 TB only the benchmark grams move (once per
     node, via the object store).
+
+    The smallness assumption is ENFORCED, not hoped: if the benchmark
+    side exceeds ``max_bench_grams`` the collection aborts with a clear
+    error instead of silently OOM-ing the driver — at that size the
+    broadcast design is wrong and a hash-partitioned gram join is the
+    right tool.
 
     Columns: doc_id, n_hits (distinct contaminated n-grams), contaminated
     (0/1 int64).  Benchmark documents flag themselves by construction —
@@ -340,6 +350,10 @@ def decontaminate(sf_dir: str) -> ray.data.Dataset:
     for batch in bench.iter_batches(batch_format="pandas", batch_size=4096):
         for text in batch["text"]:
             bench_grams.update(_word_ngrams(text))
+        if len(bench_grams) > max_bench_grams:
+            raise ValueError(
+                f"benchmark side exceeds {max_bench_grams} n-grams — too "
+                "large to broadcast; use a partitioned gram join instead")
     grams_ref = ray.put(frozenset(bench_grams))
 
     # ray.get of a pickled Python set deserializes on every call — memo
