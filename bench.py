@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "ann_topk",
     "decontaminate",
+    "repetition_signals",
+    "stratified_sample",
     "json_props_agg",
     "pii_scrub",
     "url_canonicalize",
