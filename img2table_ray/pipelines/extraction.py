@@ -273,7 +273,8 @@ def extract_pages(pages_dir: str, words_dir: str | None = None,
 
 def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = None,
                        implicit_rows: bool = True, borderless: bool = False,
-                       waves: int = 4, num_parts: int | None = None) -> dict:
+                       waves: int = 4, num_parts: int | None = None,
+                       join_words="auto") -> dict:
     """Resumable job: partitions (= input shards) with complete manifests are
     skipped; the remaining shards run in ``waves`` checkpoint rounds, each
     wave writing its data directories and then publishing manifests — so a
@@ -312,7 +313,8 @@ def run_extraction_job(pages_dir: str, out_dir: str, words_dir: str | None = Non
         wave_parts = set(todo[w : w + wave_size])
         ds = extract_pages(pages_dir, words_dir=words_dir,
                            keep_parts=wave_parts, implicit_rows=implicit_rows,
-                           borderless=borderless, stats_handle=stats_actor)
+                           borderless=borderless, stats_handle=stats_actor,
+                           join_words=join_words)
         ds.write_parquet(ddir, partition_cols=["part"])
 
         # publish manifests for this wave (data is durable at this point);
