@@ -39,7 +39,15 @@ NUM_HASHES = 16  # minhash signature length
 BAND_SIZE = 2  # rows per LSH band -> 8 bands
 JACCARD_NUM = 1  # keep pairs with n_inter * JACCARD_DEN >= n_union * JACCARD_NUM
 JACCARD_DEN = 2  # i.e. Jaccard >= 0.5, compared in exact integer arithmetic
-MAX_BUCKET = 64  # cap pairs per LSH bucket (hot-key guard; deterministic order)
+# Hot-bucket guard: a bucket is truncated (deterministic order) past this
+# many docs, trading recall for a bound on the quadratic per-bucket work.
+# 4096 docs -> at most ~8.4M candidate pairs per bucket, comfortably one
+# vectorized task; the cap exists for PATHOLOGICAL buckets only.  It must
+# sit far above real bucket sizes: at 64 it silently bound on sf0.1's
+# simhash chunks (269-doc buckets -> 84 of 512 true pairs dropped, caught
+# by the full-scale oracle sweep) — the oracles are UNcapped, so a binding
+# cap is a correctness bug at the tested scales, not an optimization.
+MAX_BUCKET = 4096
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -379,9 +387,11 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
-    """SimHash near-dup pairs: group by simhash band (4 x 15-bit chunks),
-    verify Hamming distance <= max_hamming.  Columns: doc_id_a, doc_id_b,
-    hamming.  Rows-only check (bit-twiddling SQL oracle omitted)."""
+    """SimHash near-dup pairs: group by simhash band (4 x 15-bit chunks —
+    <=3 differing bits can spoil at most 3 of 4 chunks, so banding is
+    lossless for max_hamming=3), verify Hamming distance <= max_hamming.
+    Columns: doc_id_a, doc_id_b, hamming.  Oracle: the same blocking +
+    xor/bit_count verify in DuckDB (oracles.simhash_near_dup_sql)."""
 
     def sim(batch: pd.DataFrame) -> pd.DataFrame:
         token_lists = [
@@ -445,8 +455,16 @@ def simhash_near_dup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                  "hamming": pd.Series(dtype="int64")}
             )
         ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([int(v).bit_count() for v in x], dtype=np.int64)
+        # vectorized 64-bit popcount (Hacker's Delight 5-2): the Python
+        # int.bit_count() loop was fine at 64-doc buckets but not at the
+        # ~36k pairs a 269-doc bucket generates
+        v = (hs[ia] ^ hs[ib]).astype(np.uint64)
+        v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        v = ((v & np.uint64(0x3333333333333333))
+             + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        ham = ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+               ).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"doc_id_a": ids[ia][keep], "doc_id_b": ids[ib][keep],
