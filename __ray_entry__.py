@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_agg": relational.json_props_agg,
         "group_quantiles": relational.group_quantiles,
         "distinct_users_daily": relational.distinct_users_daily,
+        "approx_distinct_users": relational.approx_distinct_users,  # HLL, rows-only
         "top_orders_per_nation": relational.top_orders_per_nation,
         # --- custom joins / windows Ray Data lacks natively ---
         "asof_join": joins.asof_join,

@@ -108,6 +108,50 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return df[["event_type", "hour", "n_events", "sum_value"]]
 
 
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event_type via a HyperLogLog sketch
+    (`functions/hll.py`) — the mergeable-sketch aggregation pattern.
+
+    Where the EXACT count-distinct (:func:`distinct_users_daily`) ships
+    deduplicated keys through the shuffle (O(distinct keys)), the sketch
+    ships at most m=4096 (group, register, rank) rows per batch whatever
+    the key cardinality, and register merge is an idempotent elementwise
+    MAX — so Ray task retries or duplicated blocks cannot corrupt the
+    estimate.  Driver work is O(groups x m).  Rows-only driver check
+    (approximate by design); the ~1.6%-error bound vs the exact count is
+    pinned in ``tests/test_hll.py``.  Columns: event_type, approx_users.
+    """
+    from img2table_ray.functions.hll import HLL_M, batch_registers, estimate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+        }).to_pandas()
+        outs = []
+        for etype, g in df.groupby("event_type", sort=False):
+            reg, rank = batch_registers(g["user_id"].to_numpy())
+            outs.append(pd.DataFrame({
+                "event_type": etype, "reg": reg, "rank": rank}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    merged = ds.repartition(1).groupby(["event_type", "reg"]).aggregate(
+        Max("rank", alias_name="rank"))
+    df = merged.to_pandas()
+    rows = []
+    for etype, g in df.groupby("event_type"):
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        regs[g["reg"].to_numpy()] = g["rank"].to_numpy()
+        rows.append({"event_type": etype,
+                     "approx_users": int(round(estimate(regs)))})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
 def json_props_agg(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: parse the ``props`` JSON column, bucket
     the extracted field, aggregate per (event_type, bucket).
