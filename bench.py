@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "stratified_sample",
     "json_props_agg",
+    "approx_distinct_users",
     "pii_scrub",
     "url_canonicalize",
     "pricing_summary",
