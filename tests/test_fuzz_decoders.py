@@ -7,7 +7,11 @@ never an infinite loop (which would stall a Ray task past its retry
 budget) and never a non-exception escape.  Seeds are fixed so the sweep
 is reproducible; an exploratory 10x-larger run (trials=100-150/format)
 found zero hangs and a 3.1 s worst case (the QM arithmetic-JPEG coder
-grinding through garbage, data-driven and terminating)."""
+grinding through garbage, data-driven and terminating).  A second
+late-round-5 campaign with harsher mutations (8-32 flips, random
+truncation, intra-file splices; 2,145 trials over 28 families incl.
+APNG and every A/V container) also found zero hangs, worst call
+0.48 s."""
 
 from __future__ import annotations
 
